@@ -3,36 +3,52 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Pipeline queries (pages corpus) have no DuckDB oracle — the pages
+table is engine-generated — so they get the rows-only check; their
+real correctness gate is the pytest golden suite (P/R >= 0.95,
+byte-identity). Relational/dedup/similarity/text queries run over
+the driver's pre-registered testdata views and carry full oracles.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _flagship(spark: SparkSession, sf: float) -> DataFrame:
+    """Top-10 most-mentioned entities: scan -> Arrow UDF extract ->
+    triples -> explode mentions -> groupBy/count -> orderBy/limit."""
+    from pdfmef_spark.operators import extract, triples as triples_op
+    from pdfmef_spark.sources import store
+
+    pages = store.read_pages(spark, sf)
+    ext = extract.extract_pages(pages)
+    trip = triples_op.extract_triples(ext)
+    mentions = triples_op.mentions_from_triples(trip)
+    return (
+        mentions.groupBy("surface", "type")
+        .agg(F.count("*").alias("n_mentions"))
+        .orderBy(F.desc("n_mentions"), "surface")
+        .limit(10)
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on the sf0.001 corpus; driver checks rows>0."""
+    return _flagship(spark, 0.001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdfmef_spark.plans import queries as Q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return Q.catalog()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdfmef_spark.plans import queries as Q
+
+    return Q.oracles()

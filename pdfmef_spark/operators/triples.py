@@ -1,0 +1,171 @@
+"""Mention detection + OpenIE-style (subj, pred, obj) triple extraction.
+
+Spark-first re-expression of the reference's per-document entity
+extractors (header: title/authors/keywords, src/extractor/csxextract/
+extractors/tei.py:31-92; citations: parscit.py:19-44; sample regex
+extractor: src/extraction/test/sample.py:14-26): one Arrow-batched
+pass over extracted text emits typed mention rows and triple rows.
+
+Relation patterns (closed predicate set, FIXTURES.md §2):
+  - "<X> works for <Y>."        -> (X, worksFor, Y)        PERSON->ORG
+  - "<X> is located in <Y>."    -> (X, locatedIn, Y)       ORG->PLACE
+  - "<X> was founded by <Y>."   -> (X, foundedBy, Y)       ORG->PERSON
+  - "<X> is affiliated with <Y>." -> (X, affiliatedWith, Y) PERSON->ORG
+  - first block                 -> (url, hasTitle, block)
+  - "By A and B" byline block   -> (url, hasAuthor, A/B)
+  - "Tags: a, b" block          -> (url, hasKeyword, each)
+  - in-content <a href>         -> (url, cites, href)   [from extract stage]
+
+Sentence boundaries respect person-name initials ("G. Lovelace works
+for ...") — a '.' preceded by a lone capital letter is not a boundary.
+Everything is per-row pure Python inside an Arrow batch; no shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from pdfmef_spark import schemas
+
+_PATTERNS = [
+    (" works for ", "worksFor", "PERSON", "ORG"),
+    (" is located in ", "locatedIn", "ORG", "PLACE"),
+    (" was founded by ", "foundedBy", "ORG", "PERSON"),
+    (" is affiliated with ", "affiliatedWith", "PERSON", "ORG"),
+]
+_TAGS_PREFIX = "Tags: "
+_BYLINE = re.compile(r"^By (.+)$")
+
+
+def _is_boundary(s: str, k: int) -> bool:
+    """Is s[k] (one of .!?) a real sentence boundary (not a name initial)?"""
+    c = s[k]
+    if c in "!?":
+        return True
+    if c != ".":
+        return False
+    # "G." pattern: single capital preceded by start/space
+    if k >= 1 and s[k - 1].isupper() and (k == 1 or not s[k - 2].isalnum()):
+        return False
+    return True
+
+
+def _prev_boundary(s: str, pos: int) -> int:
+    """Index just after the previous sentence boundary before pos (>=0)."""
+    k = pos - 1
+    while k >= 0:
+        if s[k] in ".!?" and _is_boundary(s, k):
+            # skip following spaces
+            j = k + 1
+            while j < pos and s[j] == " ":
+                j += 1
+            return j
+        k -= 1
+    return 0
+
+
+def _next_boundary(s: str, pos: int) -> int:
+    """Index of the next sentence-boundary char at/after pos (or len(s))."""
+    k = pos
+    while k < len(s):
+        if s[k] in ".!?" and _is_boundary(s, k):
+            return k
+        k += 1
+    return len(s)
+
+
+def extract_relations(text: str) -> list[tuple]:
+    """Relation triples from one page's text.
+
+    Returns [(subj, pred, obj, subj_type, obj_type, span_start, span_end, conf)].
+    Spans index the *subject* mention in `text` (FIXTURES.md §2 contract).
+    """
+    out: list[tuple] = []
+    if not text:
+        return out
+    blocks = text.split("\n")
+    off = 0
+    for bi, block in enumerate(blocks):
+        if bi == 0:
+            out.append(("__URL__", "hasTitle", block, "DOC", "TERM", off, off + len(block), 1.0))
+        elif (m := _BYLINE.match(block)) and bi == 1:
+            cursor = off + 3
+            for name in m.group(1).split(" and "):
+                out.append(("__URL__", "hasAuthor", name, "DOC", "PERSON",
+                            cursor, cursor + len(name), 0.95))
+                cursor += len(name) + len(" and ")
+        elif block.startswith(_TAGS_PREFIX):
+            cursor = off + len(_TAGS_PREFIX)
+            for kw in block[len(_TAGS_PREFIX):].split(", "):
+                out.append(("__URL__", "hasKeyword", kw, "DOC", "TERM",
+                            cursor, cursor + len(kw), 0.95))
+                cursor += len(kw) + 2
+        else:
+            for marker, pred, st, ot in _PATTERNS:
+                start = 0
+                while (k := block.find(marker, start)) != -1:
+                    s0 = _prev_boundary(block, k)
+                    e1 = _next_boundary(block, k + len(marker))
+                    subj = block[s0:k]
+                    obj = block[k + len(marker):e1]
+                    if subj and obj and subj[0].isupper():
+                        out.append((subj, pred, obj, st, ot,
+                                    off + s0, off + s0 + len(subj), 1.0))
+                    start = k + len(marker)
+        off += len(block) + 1
+    return out
+
+
+def extract_triples(extracted: DataFrame, lang_gate: str | None = "en") -> DataFrame:
+    """EXTRACTED -> TRIPLES. Pure map stage (no shuffle); the lang gate is
+    a pushed-down predicate (reference analog: AcademicPaperFilter gating
+    every downstream extractor, csxextract/filters.py:9-48)."""
+    src = extracted
+    if lang_gate is not None and "lang" in src.columns:
+        src = src.filter((F.col("lang") == lang_gate) & F.col("error").isNull())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for url, text, links in zip(pdf["url"], pdf["text"], pdf["links"]):
+                try:
+                    for (s, p, o, st, ot, a, b, conf) in extract_relations(text or ""):
+                        rows.append({
+                            "url": url, "subj": url if s == "__URL__" else s,
+                            "pred": p, "obj": o, "subj_type": st, "obj_type": ot,
+                            "span_start": a, "span_end": b, "conf": conf,
+                        })
+                    if links is not None:
+                        for href in links:
+                            rows.append({
+                                "url": url, "subj": url, "pred": "cites",
+                                "obj": href, "subj_type": "DOC", "obj_type": "DOC",
+                                "span_start": None, "span_end": None, "conf": 1.0,
+                            })
+                except Exception:
+                    # row-level containment; a malformed page yields no triples
+                    continue
+            yield pd.DataFrame(rows, columns=[f.name for f in schemas.TRIPLES])
+
+    out = src.select("url", "text", "links").mapInPandas(run, schema=schemas.TRIPLES)
+    # exact dedup — same triple re-stated on a page collapses to one row
+    return out.dropDuplicates(["url", "subj", "pred", "obj"])
+
+
+def mentions_from_triples(triples: DataFrame) -> DataFrame:
+    """Typed entity mentions = subjects + objects of non-DOC triple slots."""
+    subj = triples.filter(F.col("subj_type") != "DOC").select(
+        "url", F.col("subj").alias("surface"), F.col("subj_type").alias("type"),
+        "span_start", "span_end",
+    )
+    obj = triples.filter(
+        (F.col("obj_type") != "DOC") & (F.col("pred") != "hasTitle")
+    ).select(
+        "url", F.col("obj").alias("surface"), F.col("obj_type").alias("type"),
+        F.lit(None).cast("int").alias("span_start"), F.lit(None).cast("int").alias("span_end"),
+    )
+    return subj.unionByName(obj).dropDuplicates(["url", "surface", "type"])

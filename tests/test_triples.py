@@ -1,0 +1,58 @@
+"""Triple extraction: P/R >= 0.95 vs golden triples (the north_rule gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdfmef_spark.operators import extract, triples as triples_op
+from pdfmef_spark.sources import store
+
+KEY = ["url", "subj", "pred", "obj"]
+
+
+def _pipeline_triples(spark, pages):
+    ext = extract.extract_pages(pages)
+    return triples_op.extract_triples(ext)
+
+
+def test_triple_precision_recall(spark, smoke_pages):
+    got = _pipeline_triples(spark, smoke_pages).select(*KEY).dropDuplicates(KEY)
+    gold = store.read_golden(spark, 0.001, "golden_triples").select(*KEY).dropDuplicates(KEY)
+    n_got = got.count()
+    n_gold = gold.count()
+    tp = got.join(gold, KEY, "inner").count()
+    precision = tp / n_got
+    recall = tp / n_gold
+    assert precision >= 0.95, f"precision {precision:.4f}"
+    assert recall >= 0.95, f"recall {recall:.4f}"
+
+
+def test_spans_point_at_subject(spark, smoke_pages):
+    """Non-DOC subject spans must slice the extracted text to the surface."""
+    ext = extract.extract_pages(smoke_pages)
+    t = triples_op.extract_triples(ext)
+    joined = (
+        t.filter(F.col("subj_type") != "DOC")
+        .join(ext.select("url", "text"), "url")
+        .withColumn("seg", F.expr("substring(text, span_start + 1, span_end - span_start)"))
+    )
+    bad = joined.filter(F.col("seg") != F.col("subj")).count()
+    assert bad == 0
+
+
+def test_lang_gate(spark, smoke_pages):
+    """Non-en pages contribute no triples (filter-gated execution;
+    reference analog: runnables.py:14-31 dependency gating)."""
+    t = _pipeline_triples(spark, smoke_pages)
+    non_en = smoke_pages.filter(F.col("lang") != "en").select("url")
+    assert t.join(non_en, "url", "left_semi").count() == 0
+
+
+def test_mentions(spark, smoke_pages):
+    t = _pipeline_triples(spark, smoke_pages)
+    m = triples_op.mentions_from_triples(t)
+    gold = store.read_golden(spark, 0.001, "golden_surfaces").select("url", "surface").distinct()
+    got = m.select("url", "surface").distinct()
+    tp = got.join(gold, ["url", "surface"], "inner").count()
+    assert tp / gold.count() >= 0.95
+    assert tp / got.count() >= 0.95
