@@ -1,0 +1,88 @@
+"""Benchmark: headline queries + KG pipeline end-to-end throughput.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+The kg_e2e entry is the north_rule metric: docs/sec for the full
+extract -> triples -> linking -> components -> graph pipeline over the
+corpus at this scale factor (50k pages at sf0.1). Reference baseline:
+0.31 docs/s/worker sequential, ~4.6 docs/s at 15 workers
+(BASELINE.md, bin/timeDocuments.csv).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pdfmef_spark import pipeline as P
+    from pdfmef_spark.plans import queries as Q
+    from pdfmef_spark.session import get_spark
+    from pdfmef_spark.sources import store
+
+    spark = get_spark("bench", cores=cpus)
+    sf = store.sf_of_dir(sf_dir)
+
+    timings: dict[str, float] = {}
+
+    # Relational headliners (testdata tables)
+    for name in [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "top3_orders_per_customer",
+        "dedup_exact_documents",
+        "events_daily",
+        "doc_token_stats",
+    ]:
+        fn = Q.catalog().get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    # KG pipeline end-to-end (corpus generation cached & not timed)
+    pages = store.read_pages(spark, sf)
+    n_docs = pages.count()
+    out_dir = tempfile.mkdtemp(prefix="bench_kg_")
+    try:
+        t0 = time.time()
+        run = P.run_pipeline(spark, pages, out_dir, run_id="bench")
+        n_edges = run.df("edges").count()
+        kg_sec = time.time() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    timings["kg_e2e"] = round(kg_sec, 3)
+    docs_per_sec = round(n_docs / kg_sec, 2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_e2e_plus_headline_queries",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "docs": n_docs,
+                "edges": n_edges,
+                "docs_per_sec": docs_per_sec,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
+    sys.stdout.flush()

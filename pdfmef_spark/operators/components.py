@@ -1,0 +1,116 @@
+"""Connected components via alternating large-star / small-star joins.
+
+The canonicalization step of the north_rule: link edges over normalized
+surface keys -> one component id per real-world entity. GraphFrames is
+not available in this sandbox, so this is the sanctioned iterative-join
+formulation (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SOCC'14): both operations are plain DataFrame join+groupBy and
+converge in O(log^2 n) rounds; every round is checkpointed to truncate
+lineage (at cluster scale: reliable checkpoint dir; locally:
+localCheckpoint).
+
+Node ids are strings ("type|norm"); min() under lexicographic order
+serves as the component representative selector.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+MAX_ITERATIONS = 25
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    b = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = b.groupBy("src").agg(F.min("dst").alias("mn"))
+    mins = mins.withColumn("m", F.least(F.col("mn"), F.col("src"))).select("src", "m")
+    return (
+        b.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges high->low; connect all low neighbors (and u) to the min."""
+    b = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = b.groupBy("src").agg(F.min("dst").alias("m"))
+    out = (
+        b.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(mins.select(F.col("src"), F.col("m").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return out
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(links: DataFrame) -> DataFrame:
+    """links(src, dst, ...) -> (node, component) for every node in links.
+
+    Component id = lexicographic min node of the component.
+    """
+    edges = links.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    edges = edges.localCheckpoint()
+    prev = None
+    for _ in range(MAX_ITERATIONS):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        fp = _fingerprint(edges)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError("connected_components did not converge")
+
+    # converged star graph: every edge is (node, component_min)
+    assign = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    # nodes that ended as representatives (or isolated in links) map to themselves
+    all_nodes = (
+        links.select(F.col("src").alias("node"))
+        .union(links.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return (
+        all_nodes.join(assign, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+
+
+def assign_components(keys: DataFrame, links: DataFrame) -> DataFrame:
+    """Every (type, norm) key -> component id ("type|min-norm").
+
+    Keys that never appear in a link are their own singleton component.
+    """
+    typed_links = links.select(
+        F.concat_ws("|", "type", "src").alias("src"),
+        F.concat_ws("|", "type", "dst").alias("dst"),
+    )
+    comp = connected_components(typed_links)
+    nodes = keys.select("type", "norm").distinct().withColumn(
+        "node", F.concat_ws("|", "type", "norm")
+    )
+    return (
+        nodes.join(comp, "node", "left")
+        .select(
+            "type",
+            "norm",
+            F.coalesce("component", "node").alias("component"),
+        )
+    )

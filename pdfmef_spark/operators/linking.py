@@ -1,0 +1,191 @@
+"""Entity linking: normalization -> MinHash-LSH blocking -> pair scoring.
+
+Generalizes the reference's implicit entity identity (pdfmef treats each
+extracted surface form as-is; authors/affiliations are pipe-joined
+strings, src/extractor/csxextract/extractors/tei.py:45-65) into explicit
+alias resolution: "Alan Turing" / "A. Turing" / "Turing, Alan" must land
+in one entity.
+
+Scale design (the part that must survive 10^12 docs):
+  * the quadratic surface x surface space is never materialized — only
+    LSH-band buckets and last-token blocks generate candidates;
+  * MinHash signatures are computed entirely JVM-side (shingles via
+    sequence/transform, per-seed xxhash64 + array_min) — no Python;
+  * hot buckets are frequency-capped (a stopword-ish token or a
+    degenerate band would otherwise explode one reducer — the same hub
+    problem pdfmef's `cites` edges have);
+  * only the final pair scoring (token/initialism logic) is Python, as
+    a vectorized Arrow batch over the (small) candidate-pair set.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+
+from pdfmef_spark.functions import char_shingles, normalize_surface
+
+N_HASHES = 64
+N_BANDS = 16  # 16 bands x 4 rows
+ROWS_PER_BAND = N_HASHES // N_BANDS
+BUCKET_CAP = 64      # skip LSH buckets larger than this (hot-band guard)
+TOKEN_BLOCK_CAP = 256  # skip last-token blocks larger than this
+
+
+def surface_keys(mentions: DataFrame) -> DataFrame:
+    """Distinct (type, surface) with mention counts and normalized key."""
+    return (
+        mentions.groupBy("type", "surface")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("norm", normalize_surface(F.col("surface")))
+        .filter(F.length("norm") > 0)
+    )
+
+
+def _band_hashes(shingle_col):
+    """Array of N_BANDS band hashes from JVM-side MinHash signatures."""
+    bands = []
+    for b in range(N_BANDS):
+        mins = [
+            F.array_min(
+                F.transform(shingle_col, lambda s, seed=b * ROWS_PER_BAND + r: F.xxhash64(s, F.lit(seed)))
+            )
+            for r in range(ROWS_PER_BAND)
+        ]
+        bands.append(F.xxhash64(*mins))
+    return F.array(*bands)
+
+
+def candidate_pairs(keys: DataFrame) -> DataFrame:
+    """(type, a, b) candidate pairs, a < b, from LSH bands + last-token blocks."""
+    norms = keys.select("type", "norm").distinct()
+    sh = norms.withColumn("sh", char_shingles(F.col("norm")))
+
+    banded = sh.select(
+        "type", "norm", F.posexplode(_band_hashes(F.col("sh"))).alias("band", "bh")
+    )
+    w = W.partitionBy("type", "band", "bh")
+    banded = banded.withColumn("bsize", F.count("*").over(w)).filter(
+        F.col("bsize") <= BUCKET_CAP
+    )
+    lsh_pairs = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.type") == F.col("y.type"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.norm") < F.col("y.norm")),
+        )
+        .select(F.col("x.type").alias("type"), F.col("x.norm").alias("a"), F.col("y.norm").alias("b"))
+    )
+
+    # last-token block: catches initialisms ("a turing" ~ "alan turing")
+    # whose shingle overlap is too low for the LSH bands.
+    tok = norms.withColumn("tok", F.substring_index("norm", " ", -1))
+    wt = W.partitionBy("type", "tok")
+    tok = tok.withColumn("tsize", F.count("*").over(wt)).filter(
+        (F.col("tsize") <= TOKEN_BLOCK_CAP) & (F.length("tok") > 1)
+    )
+    tok_pairs = (
+        tok.alias("x")
+        .join(
+            tok.alias("y"),
+            (F.col("x.type") == F.col("y.type"))
+            & (F.col("x.tok") == F.col("y.tok"))
+            & (F.col("x.norm") < F.col("y.norm")),
+        )
+        .select(F.col("x.type").alias("type"), F.col("x.norm").alias("a"), F.col("y.norm").alias("b"))
+    )
+
+    # two-token-prefix block: catches truncation aliases
+    # ("orbital logic" ~ "orbital logic systems") whose shingle Jaccard
+    # (~0.5-0.65) is below the r=4 LSH collision knee.
+    pre = norms.filter(F.size(F.split("norm", " ")) >= 2).withColumn(
+        "pre2", F.substring_index("norm", " ", 2)
+    )
+    wp = W.partitionBy("type", "pre2")
+    pre = pre.withColumn("psize", F.count("*").over(wp)).filter(
+        F.col("psize") <= TOKEN_BLOCK_CAP
+    )
+    pre_pairs = (
+        pre.alias("x")
+        .join(
+            pre.alias("y"),
+            (F.col("x.type") == F.col("y.type"))
+            & (F.col("x.pre2") == F.col("y.pre2"))
+            & (F.col("x.norm") < F.col("y.norm")),
+        )
+        .select(F.col("x.type").alias("type"), F.col("x.norm").alias("a"), F.col("y.norm").alias("b"))
+    )
+
+    return lsh_pairs.unionByName(tok_pairs).unionByName(pre_pairs).distinct()
+
+
+def _token_score(a: str, b: str) -> float:
+    """Order-insensitive token alignment with initial matching."""
+    ta, tb = a.split(), b.split()
+    if not ta or not tb:
+        return 0.0
+    short, long_ = (ta, tb) if len(ta) <= len(tb) else (tb, ta)
+    total = 0.0
+    used: set[int] = set()
+    for s in short:
+        best, best_j = 0.0, -1
+        for j, l in enumerate(long_):
+            if j in used:
+                continue
+            if s == l:
+                sc = 1.0
+            elif len(s) == 1 and l.startswith(s):
+                sc = 0.9
+            elif len(l) == 1 and s.startswith(l):
+                sc = 0.9
+            elif len(s) >= 3 and len(l) >= 3 and (s.startswith(l) or l.startswith(s)):
+                sc = 0.7
+            else:
+                sc = 0.0
+            if sc > best:
+                best, best_j = sc, j
+        if best_j >= 0:
+            used.add(best_j)
+        total += best
+    # penalize unmatched length difference mildly
+    return total / (len(short) + 0.35 * (len(long_) - len(short)))
+
+
+def _char_jaccard(a: str, b: str, k: int = 3) -> float:
+    pa = f" {a} "
+    pb = f" {b} "
+    sa = {pa[i : i + k] for i in range(max(1, len(pa) - k + 1))}
+    sb = {pb[i : i + k] for i in range(max(1, len(pb) - k + 1))}
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+@F.pandas_udf(T.DoubleType())
+def pair_score_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    def score(x: str, y: str) -> float:
+        tok = _token_score(x, y)
+        blend = 0.6 * tok + 0.4 * _char_jaccard(x, y)
+        # initialism pairs ("b eich" ~ "brendan eich") have near-perfect
+        # token alignment but poor shingle overlap — let a strong token
+        # score carry the decision on its own.
+        return max(blend, 0.8 * tok)
+
+    return pd.Series([score(x, y) for x, y in zip(a, b)])
+
+
+def score_pairs(pairs: DataFrame, threshold: float = 0.70) -> DataFrame:
+    """LINKS(type, src, dst, score): Arrow-batched scoring + threshold."""
+    scored = pairs.withColumn("score", pair_score_udf(F.col("a"), F.col("b")))
+    return scored.filter(F.col("score") >= threshold).select(
+        "type", F.col("a").alias("src"), F.col("b").alias("dst"), "score"
+    )
+
+
+def link_entities(mentions: DataFrame, threshold: float = 0.70) -> DataFrame:
+    """mentions -> LINKS over normalized surface keys (per type)."""
+    keys = surface_keys(mentions)
+    return score_pairs(candidate_pairs(keys), threshold)

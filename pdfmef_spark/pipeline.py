@@ -1,0 +1,153 @@
+"""End-to-end KG pipeline runner with per-stage manifest + resume.
+
+Stage DAG (all DataFrame -> DataFrame; topology fixed, like the
+reference's hard-coded runnable order, src/extractor/main.py:71-98,
+but declared data-dependencies instead of insertion order):
+
+    pages -> extracted -> triples -> mentions -> links -> assignments
+                              `-----------------------------> nodes, edges
+
+Each stage writes partitioned parquet + manifest rows
+(run_id, stage, partition_id, status, rows_out, n_errors, content_sha).
+A rerun skips any stage whose manifest records status=complete — the
+generalization of pdfmef's CRAWLED/EXTRACTING/PASS/FAIL state machine
+(properties.config:27-31, wrappers.py:180-195): state is data in a
+table, not a log to re-parse (main.py:23-41 re-parses logs; we don't).
+
+Kill the job between stages and rerun: completed stages are read back
+from parquet, not recomputed (asserted by tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+STAGES = ["extracted", "triples", "mentions", "links", "assignments", "nodes", "edges"]
+
+
+@dataclass
+class StageResult:
+    name: str
+    df: DataFrame
+    recomputed: bool
+    rows: int = -1
+
+
+@dataclass
+class PipelineRun:
+    out_dir: str
+    run_id: str
+    results: dict[str, StageResult] = field(default_factory=dict)
+
+    def df(self, stage: str) -> DataFrame:
+        return self.results[stage].df
+
+
+def _manifest_path(out_dir: str) -> str:
+    return f"{out_dir}/manifest"
+
+
+def _stage_complete(spark: SparkSession, out_dir: str, stage: str) -> bool:
+    mp = _manifest_path(out_dir)
+    if not os.path.exists(mp):
+        return False
+    m = spark.read.parquet(mp)
+    return (
+        m.filter((F.col("stage") == stage) & (F.col("status") == "complete")).limit(1).count()
+        > 0
+    )
+
+
+def _write_stage(
+    spark: SparkSession, out_dir: str, run_id: str, stage: str, df: DataFrame,
+    error_col: str | None = None,
+) -> DataFrame:
+    """Write stage output + manifest (per-partition counters, content sha)."""
+    path = f"{out_dir}/{stage}"
+    df.write.mode("overwrite").parquet(path)
+    out = spark.read.parquet(path)
+
+    err_expr = (
+        F.sum(F.when(F.col(error_col).isNotNull(), 1).otherwise(0))
+        if error_col and error_col in out.columns
+        else F.lit(0)
+    )
+    per_part = (
+        out.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count("*").alias("rows_out"),
+            err_expr.cast("long").alias("n_errors"),
+            F.conv(F.hex(F.coalesce(F.bit_xor(F.xxhash64(F.struct("*"))), F.lit(0))), 16, 16).alias("content_sha"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("stage", F.lit(stage))
+        .withColumn("status", F.lit("partition_done"))
+        .withColumn("rows_in", F.lit(None).cast("long"))
+        .withColumn("updated_ts", F.current_timestamp())
+    )
+    total = out.agg(
+        F.count("*").alias("rows_out"),
+        err_expr.cast("long").alias("n_errors"),
+        F.conv(F.hex(F.coalesce(F.bit_xor(F.xxhash64(F.struct("*"))), F.lit(0))), 16, 16).alias("content_sha"),
+    ).withColumns(
+        {
+            "partition_id": F.lit(-1),
+            "run_id": F.lit(run_id),
+            "stage": F.lit(stage),
+            "status": F.lit("complete"),
+            "rows_in": F.lit(None).cast("long"),
+            "updated_ts": F.current_timestamp(),
+        }
+    )
+    cols = ["run_id", "stage", "partition_id", "status", "rows_in", "rows_out",
+            "n_errors", "content_sha", "updated_ts"]
+    per_part.select(*cols).unionByName(total.select(*cols)).write.mode("append").parquet(
+        _manifest_path(out_dir)
+    )
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str | None = None,
+    link_threshold: float = 0.70,
+) -> PipelineRun:
+    """Run (or resume) the full pipeline; every stage idempotent."""
+    from pdfmef_spark.operators import components, extract, graph, linking, triples as triples_op
+
+    run_id = run_id or f"run-{int(time.time())}"
+    os.makedirs(out_dir, exist_ok=True)
+    run = PipelineRun(out_dir=out_dir, run_id=run_id)
+
+    def stage(name: str, build, error_col: str | None = None) -> DataFrame:
+        if _stage_complete(spark, out_dir, name):
+            df = spark.read.parquet(f"{out_dir}/{name}")
+            run.results[name] = StageResult(name, df, recomputed=False)
+            return df
+        df = _write_stage(spark, out_dir, run_id, name, build(), error_col=error_col)
+        run.results[name] = StageResult(name, df, recomputed=True)
+        return df
+
+    extracted = stage("extracted", lambda: extract.extract_pages(pages), error_col="error")
+    triples = stage("triples", lambda: triples_op.extract_triples(extracted))
+    mentions = stage("mentions", lambda: triples_op.mentions_from_triples(triples))
+    links = stage("links", lambda: linking.link_entities(mentions, link_threshold))
+
+    keys = linking.surface_keys(mentions)
+    assignments = stage("assignments", lambda: components.assign_components(keys, links))
+
+    def build_graph():
+        nodes, edges = graph.materialize_graph(triples, keys, assignments)
+        run._edges_tmp = edges  # noqa: SLF001 — handed to the edges stage below
+        return nodes
+
+    stage("nodes", build_graph)
+    stage("edges", lambda: run._edges_tmp if hasattr(run, "_edges_tmp")
+          else graph.materialize_graph(triples, keys, assignments)[1])
+    return run

@@ -1,0 +1,89 @@
+"""Entity linking: pair scoring P/R on golden labeled pairs, blocking recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdfmef_spark.functions import normalize_surface
+from pdfmef_spark.operators import linking
+from pdfmef_spark.sources import store
+
+
+def test_pair_scoring_on_golden_links(spark):
+    """Score every labeled golden pair directly (no blocking): P/R >= 0.95."""
+    gl = store.read_golden(spark, 0.001, "golden_links")
+    scored = gl.withColumn(
+        "score",
+        linking.pair_score_udf(
+            normalize_surface(F.col("surface_a")), normalize_surface(F.col("surface_b"))
+        ),
+    ).withColumn("pred_same", F.col("score") >= 0.70)
+    agg = scored.groupBy("same_entity", "pred_same").count().collect()
+    c = {(r.same_entity, r.pred_same): r["count"] for r in agg}
+    tp = c.get((True, True), 0)
+    fp = c.get((False, True), 0)
+    fn = c.get((True, False), 0)
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    assert precision >= 0.95, f"precision {precision:.3f} (fp={fp})"
+    assert recall >= 0.95, f"recall {recall:.3f} (fn={fn})"
+
+
+def test_blocking_recall_on_corpus(spark, smoke_pages):
+    """Candidate generation must cover >=95% of true same-entity pairs
+    actually co-occurring in the corpus mentions."""
+    from pdfmef_spark.operators import extract, triples as triples_op
+
+    ext = extract.extract_pages(smoke_pages)
+    trip = triples_op.extract_triples(ext)
+    mentions = triples_op.mentions_from_triples(trip)
+    keys = linking.surface_keys(mentions)
+    pairs = linking.candidate_pairs(keys)
+
+    gold = store.read_golden(spark, 0.001, "golden_surfaces")
+    gk = gold.select(
+        "entity_key", normalize_surface(F.col("surface")).alias("norm")
+    ).distinct()
+    true_pairs = (
+        gk.alias("x")
+        .join(gk.alias("y"), (F.col("x.entity_key") == F.col("y.entity_key")) & (F.col("x.norm") < F.col("y.norm")))
+        .select(F.col("x.norm").alias("a"), F.col("y.norm").alias("b"))
+        .distinct()
+    )
+    n_true = true_pairs.count()
+    covered = true_pairs.join(pairs.select("a", "b").distinct(), ["a", "b"], "left_semi").count()
+    assert covered / max(n_true, 1) >= 0.95, f"blocking recall {covered}/{n_true}"
+
+
+def test_end_to_end_linking_quality(spark, smoke_pages):
+    """Cluster assignments vs golden entity keys: pairwise P/R >= 0.95."""
+    from pdfmef_spark.operators import components, extract, triples as triples_op
+
+    ext = extract.extract_pages(smoke_pages)
+    trip = triples_op.extract_triples(ext)
+    mentions = triples_op.mentions_from_triples(trip)
+    keys = linking.surface_keys(mentions)
+    links = linking.link_entities(mentions)
+    assign = components.assign_components(keys, links)
+
+    gold = store.read_golden(spark, 0.001, "golden_surfaces")
+    gk = (
+        gold.select("entity_key", normalize_surface(F.col("surface")).alias("norm"))
+        .distinct()
+        .join(assign.select("norm", "component").distinct(), "norm")
+    )
+    # pairwise over norms that share an entity_key (truth) vs share a component (pred)
+    x, y = gk.alias("x"), gk.alias("y")
+    joined = x.join(y, F.col("x.norm") < F.col("y.norm"))
+    both = joined.select(
+        (F.col("x.entity_key") == F.col("y.entity_key")).alias("truth"),
+        (F.col("x.component") == F.col("y.component")).alias("pred"),
+    )
+    c = {(r.truth, r.pred): r["count"] for r in both.groupBy("truth", "pred").count().collect()}
+    tp = c.get((True, True), 0)
+    fp = c.get((False, True), 0)
+    fn = c.get((True, False), 0)
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    assert precision >= 0.95, f"cluster precision {precision:.3f} (fp={fp})"
+    assert recall >= 0.95, f"cluster recall {recall:.3f} (fn={fn})"
