@@ -1,0 +1,286 @@
+"""Deduplication family: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine near-dup.
+
+Training-data-pipeline operators over the `documents` table (and any
+text column). Everything except the final candidate verification is
+JVM-side; near-dup candidate generation never materializes the
+quadratic pair space (same LSH discipline as entity linking —
+reference analog for exact dedup: none; pdfmef assumes unique doc ids,
+SURVEY.md §2.2 "Distinct: absent").
+
+Scale notes:
+  * exact dedup = hash groupBy — partial aggregation absorbs skew;
+  * MinHash-LSH: bands -> bucket self-join with frequency cap;
+  * SimHash: 64-bit signature via token-hash bit voting, then
+    band-split (4x16-bit) exact-match blocking for hamming<=k search;
+  * embedding cosine: block by LSH sign-bits of random projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+# ---------------------------------------------------------------------------
+# word shingles + Jaccard (exact, for candidate verification and small sets)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col, k: int = 3):
+    """Array of word k-grams (distinct), JVM-side."""
+    toks = F.split(F.lower(col), r"\s+")
+    n = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, threshold: float = 0.8, block_prefix: int = 16,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs blocked by shared shingle.
+
+    Blocking: explode shingles, pair docs sharing a shingle (capped),
+    then exact Jaccard via array_intersect/union on the pair.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    ex = base.select("id", F.explode("sh").alias("g"))
+    w = W.partitionBy("g")
+    ex = ex.withColumn("gsize", F.count("*").over(w)).filter(F.col("gsize") <= 64)
+    cand = (
+        ex.alias("x")
+        .join(ex.alias("y"), (F.col("x.g") == F.col("y.g")) & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    pairs = (
+        cand.join(base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingle_col, n_hashes: int = 64):
+    """Array of n_hashes minima of per-seed xxhash64 over shingles."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, n_hashes: int = 64, n_bands: int = 16,
+    verify_threshold: float = 0.7, bucket_cap: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs: shingle -> MinHash -> banded buckets ->
+    bucket self-join -> exact-Jaccard verification."""
+    r = n_hashes // n_bands
+    base = docs.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = base.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    bands = sig.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]) for b in range(n_bands)]
+            )
+        ).alias("band", "bh"),
+    )
+    w = W.partitionBy("band", "bh")
+    bands = bands.withColumn("bsize", F.count("*").over(w)).filter(F.col("bsize") <= bucket_cap)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+            F.col("x.sh").alias("sh_a"), F.col("y.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text_col):
+    """64-bit SimHash from whitespace tokens, fully JVM-side.
+
+    Per token: h = xxhash64(token); each of 64 bits votes +1/-1;
+    signature bit i = sign of the vote sum. Implemented with
+    aggregate() over the token array per bit-nibble to stay in codegen.
+    """
+    toks = F.array_distinct(F.split(F.lower(text_col), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # bit i vote: sum over tokens of +-1; sig bit = vote > 0. Bit tests use
+    # bitwiseAND masks (Column methods work on lambda variables where
+    # F.shiftright's py4j path does not); bit 63 is the sign bit.
+    def _merge_for(i: int):
+        # exactly-two-arg lambda: PySpark binds a lambda variable to every
+        # parameter of a higher-order-function callback, defaults included
+        if i == 63:
+            return lambda acc, h: acc + F.when(h < 0, 1).otherwise(-1)
+        mask = 1 << i
+        return lambda acc, h: acc + F.when(
+            h.bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    bits = []
+    for i in range(64):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _merge_for(i))
+        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    sig = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        sig = sig.bitwiseOR(F.shiftleft(b, i))
+    return sig
+
+
+def simhash_dedup_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Blocking: split the 64-bit signature into 4 x 16-bit chunks; any
+    pair within hamming<=3 shares at least one exact chunk (pigeonhole).
+    """
+    base = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    chunks = base.select(
+        "id", "sig",
+        F.posexplode(
+            F.array(*[F.shiftright("sig", 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
+        ).alias("chunk", "cv"),
+    )
+    w = W.partitionBy("chunk", "cv")
+    chunks = chunks.withColumn("csize", F.count("*").over(w)).filter(F.col("csize") <= 256)
+    cand = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+            F.col("x.sig").alias("sig_a"), F.col("y.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_sim(vec_a, vec_b):
+    """Cosine similarity of two float-array columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(vec_a, F.lit(0.0).cast("double"), lambda a, v: a + v * v))
+    nb = F.sqrt(F.aggregate(vec_b, F.lit(0.0).cast("double"), lambda a, v: a + v * v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.95, n_planes: int = 16, n_tables: int = 4,
+) -> DataFrame:
+    """Near-identical embeddings via sign-LSH blocking + exact cosine verify.
+
+    n_tables independent tables of n_planes random hyperplanes; vectors
+    agreeing on all signs in any table become candidates.
+    """
+    import numpy as np
+
+    dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(42)
+    tables = rng.standard_normal((n_tables, n_planes, dim))
+
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    keyed = base
+    key_cols = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            plane = tables[t, p]
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
+        keyed = keyed.withColumn(f"k{t}", F.concat_ws("", *bits))
+        key_cols.append(f"k{t}")
+    buckets = keyed.select(
+        "id", "v", F.posexplode(F.array(*[F.col(c) for c in key_cols])).alias("tbl", "key")
+    )
+    w = W.partitionBy("tbl", "key")
+    buckets = buckets.withColumn("bsize", F.count("*").over(w)).filter(F.col("bsize") <= 512)
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+            F.col("x.v").alias("va"), F.col("y.v").alias("vb"),
+        )
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )

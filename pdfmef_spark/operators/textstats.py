@@ -1,0 +1,116 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+All JVM-side built-ins (no Python in the hot path), designed as the
+quality/filter gates of a training-data pipeline — the web-scale
+generalization of pdfmef's AcademicPaperFilter gate
+(src/extractor/csxextract/filters.py:9-48): score every document
+cheaply, filter before the expensive stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "with", "from", "that", "this", "for"],
+    "de": ["der", "die", "das", "und", "mit", "für", "nicht"],
+    "fr": ["le", "la", "les", "et", "pour", "avec", "dans"],
+    "es": ["el", "la", "los", "y", "para", "con", "que"],
+}
+
+
+def lang_id(text_col: Column) -> Column:
+    """Heuristic language id: CJK codepoint ratio, else stopword voting.
+
+    Returns one of en/de/fr/es/zh/und. Pure built-ins: the token
+    membership tests compile to array expressions in codegen.
+    """
+    cjk = F.length(F.regexp_replace(text_col, r"[^一-鿿]", ""))
+    total = F.greatest(F.length(text_col), F.lit(1))
+    toks = F.split(F.lower(text_col), r"\s+")
+    votes = {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in _LANG_MARKERS.items()
+    }
+    best = None
+    for lang, v in votes.items():
+        if best is None:
+            best, best_lang = v, F.lit(lang)
+        else:
+            best_lang = F.when(v > best, F.lit(lang)).otherwise(best_lang)
+            best = F.greatest(v, best)
+    return (
+        F.when((cjk / total) > 0.2, F.lit("zh"))
+        .when(best >= 2, best_lang)
+        .otherwise(F.lit("und"))
+    )
+
+
+def token_count(text_col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text_col), r"\s+"))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """BPE-ish subword proxy: word-piece regex split (letters runs, digit
+    runs, punctuation singles) — a deterministic stand-in for a real
+    tokenizer's piece count."""
+    return F.size(
+        F.regexp_extract_all(text_col, F.lit(r"[A-Za-zÀ-ɏ]+|[0-9]+|[^\sA-Za-z0-9]"), 0)
+    )
+
+
+def quality_score(text_col: Column) -> Column:
+    """[0,1] quality score from length / punctuation / stopword ratios
+    (the C4/Gopher-style heuristics, closed-form in SQL).
+
+    Components:
+      len_ok:   1 if 200 <= chars <= 20000 (ramped below/above)
+      punct:    sentence-terminator density sanity
+      stop:     stopword ratio >= 0.05
+      alpha:    alphabetic char ratio
+    """
+    chars = F.length(text_col).cast("double")
+    len_ok = F.least(chars / 200.0, F.lit(1.0)) * F.least(F.lit(20000.0) / F.greatest(chars, F.lit(1.0)), F.lit(1.0))
+    terms = F.length(F.regexp_replace(text_col, r"[^.!?]", "")).cast("double")
+    toks = token_count(text_col).cast("double")
+    punct = F.least(terms / F.greatest(toks / 30.0, F.lit(1.0)), F.lit(1.0))
+    stops = F.size(
+        F.array_intersect(
+            F.split(F.lower(text_col), r"\s+"),
+            F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]]),
+        )
+    ).cast("double")
+    stop_ratio = F.least(stops / F.greatest(toks * 0.02, F.lit(1.0)), F.lit(1.0))
+    alpha = (
+        F.length(F.regexp_replace(text_col, r"[^A-Za-zÀ-ɏ一-鿿]", "")).cast("double")
+        / F.greatest(chars, F.lit(1.0))
+    )
+    return F.round((0.3 * len_ok + 0.2 * punct + 0.2 * stop_ratio + 0.3 * alpha), 6)
+
+
+def rolling_fingerprint(text_col: Column, window: int = 8) -> Column:
+    """Deterministic document fingerprint: min of xxhash64 over rolling
+    token windows (a winnowing-style robust content id)."""
+    toks = F.split(F.lower(text_col), r"\s+")
+    n = F.greatest(F.size(toks) - (window - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, window))
+    )
+    return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """All text stats as columns — one codegen'd projection, no shuffle."""
+    c = F.col(text_col)
+    return docs.withColumns(
+        {
+            "lang_pred": lang_id(c),
+            "n_tokens": token_count(c),
+            "n_pieces": bpe_ish_token_count(c),
+            "quality": quality_score(c),
+            "fingerprint": rolling_fingerprint(c),
+        }
+    )

@@ -266,3 +266,391 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage: multi-join, set ops, rollup, anti-join resume,
+# array/JSON/math functions (all DuckDB-oracled)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact + 3 broadcast dims, dim-side filter pushed down."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    dims = (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li.l_suppkey == dims.s_suppkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@_register(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (NOT EXISTS) — the checkpoint-resume primitive
+    (reference analog: the state-machine work queue, wrappers.py:140-156)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@_register(
+    "segment_set_ops",
+    oracle="""
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+         big AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000)
+    SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM building INTERSECT SELECT * FROM big)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM building EXCEPT SELECT * FROM big)
+    UNION ALL
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT * FROM building UNION SELECT * FROM big)
+    ORDER BY op
+    """,
+)
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intersect / except / union (distinct set semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("c_custkey"))
+    rows = [
+        ("except", building.exceptAll(big).distinct() if False else building.subtract(big)),
+        ("intersect", building.intersect(big)),
+        ("union", building.union(big).distinct()),
+    ]
+    out = None
+    for op, df in rows:
+        x = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+        out = x if out is None else out.unionByName(x)
+    return out.orderBy("op")
+
+
+@_register(
+    "orders_rollup",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation (ROLLUP) with grouping-null canonicalization."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@_register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions: extract a field from a JSON string column."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "lang_sources_arrays",
+    oracle="""
+    SELECT lang,
+           array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lang_sources_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions: collect_set -> array_sort -> join (string output so
+    the cross-engine hash is list-representation-free)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_register(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(stddev_samp(value), 4) AS sd
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math/statistics functions: exact percentiles + stddev."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "part_string_funcs",
+    oracle="""
+    SELECT upper(p_brand) AS brand,
+           count(*) AS n,
+           CAST(sum(len(p_name)) AS BIGINT) AS name_chars,
+           min(regexp_extract(p_type, '^[A-Z]+')) AS first_type_word
+    FROM part
+    WHERE p_name LIKE '%a%'
+    GROUP BY upper(p_brand)
+    ORDER BY brand
+    """,
+)
+def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: like / upper / length / regexp_extract."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%a%"))
+        .groupBy(F.upper("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.length("p_name")).alias("name_chars"),
+            F.min(F.regexp_extract("p_type", "^[A-Z]+", 0)).alias("first_type_word"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text-analysis operators (training-data pipeline)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "ngram_jaccard_dedup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') t FROM documents),
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) gs
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(gs) g FROM grams),
+    cand AS (SELECT x.doc_id a, y.doc_id b, count(*) inter
+             FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(gs) n FROM grams)
+    SELECT a, b, round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM cand JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+    ORDER BY a, b
+    """,
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3gram Jaccard near-dup pairs (J >= 0.8): the verifiable
+    anchor of the dedup family (MinHash/SimHash approximate the same set)."""
+    d = _t(spark, sf_dir, "documents")
+    # uncapped blocking here: any pair with J >= 0.8 shares a gram, and the
+    # oracle has no cap — semantics must match exactly
+    return _ngram_uncapped(d, 0.8).orderBy("a", "b")
+
+
+def _ngram_uncapped(d: DataFrame, threshold: float) -> DataFrame:
+    from pdfmef_spark.operators.dedup import word_shingles
+
+    base = d.select(F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("sh"))
+    ex = base.select("id", F.explode("sh").alias("g"))
+    cand = (
+        ex.alias("x")
+        .join(ex.alias("y"), (F.col("x.g") == F.col("y.g")) & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    return (
+        cand.join(base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@_register("minhash_dedup")
+def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified (rows-only driver
+    check: candidate generation is hash-dependent; pytest asserts recall
+    >= 0.95 and precision == 1.0 vs the exact-Jaccard set)."""
+    from pdfmef_spark.operators import dedup
+
+    return dedup.minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), verify_threshold=0.8
+    ).orderBy("a", "b")
+
+
+@_register("simhash_dedup")
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, hamming <= 3 (rows-only: xxhash64 signatures
+    have no DuckDB counterpart; pytest verifies hamming arithmetic)."""
+    from pdfmef_spark.operators import dedup
+
+    return dedup.simhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3
+    ).orderBy("a", "b")
+
+
+@_register(
+    "embedding_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.q_vec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS cos
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, round(cos, 6) AS cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    ORDER BY q_id, rank
+    """,
+)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 3 probe vectors — the exact ANN baseline."""
+    from pdfmef_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.brute_force_topk(emb, queries, k=10).orderBy("q_id", "rank")
+
+
+@_register("embedding_ann_ivf")
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN top-10 (rows-only: approximate by design; pytest
+    asserts exhaustive-probe == brute force and partial-probe recall)."""
+    from pdfmef_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return similarity.ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=8).orderBy(
+        "q_id", "rank"
+    )
+
+
+@_register(
+    "doc_text_profile",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_pieces
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token + subword-piece counts per document, JVM-side."""
+    from pdfmef_spark.operators import textstats
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("n_pieces"),
+    ).orderBy("doc_id")
+
+
+@_register("doc_quality_lang")
+def doc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score + heuristic lang-id + rolling fingerprint per doc
+    (rows-only: xxhash64 fingerprint and float-formula parity have no
+    robust cross-engine oracle; pytest checks accuracy and ranges)."""
+    from pdfmef_spark.operators import textstats
+
+    d = _t(spark, sf_dir, "documents")
+    return textstats.document_profile(d).select(
+        "doc_id", "lang_pred", "quality", "fingerprint"
+    ).orderBy("doc_id")

@@ -1,0 +1,78 @@
+"""Dedup family: exact-Jaccard oracle checks, MinHash recall, SimHash
+hamming oracle, embedding-LSH recall."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfmef_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def _exact_jaccard_pairs(rows, k=3, threshold=0.7):
+    def grams(text):
+        t = text.lower().split()
+        return {" ".join(t[i : i + k]) for i in range(max(1, len(t) - k + 1))}
+
+    gs = {r.doc_id: grams(r.text) for r in rows}
+    out = set()
+    for a, b in itertools.combinations(sorted(gs), 2):
+        inter = len(gs[a] & gs[b])
+        if inter and inter / len(gs[a] | gs[b]) >= threshold:
+            out.add((a, b))
+    return out
+
+
+def test_ngram_jaccard_matches_python_oracle(spark, docs):
+    rows = docs.collect()
+    expected = _exact_jaccard_pairs(rows, threshold=0.7)
+    got = {
+        (r.a, r.b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.7, block_prefix=10**6).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    """LSH candidates + verify must recover >=95% of true J>=0.8 pairs,
+    and verification makes precision exact."""
+    exact = {
+        (r.a, r.b) for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    mh = {(r.a, r.b) for r in dedup.minhash_dedup_pairs(docs, verify_threshold=0.8).collect()}
+    assert mh <= exact  # exact-verify step: no false positives
+    assert len(mh) / max(len(exact), 1) >= 0.95
+
+
+def test_simhash_pairs_hamming_correct(spark, docs):
+    got = dedup.simhash_dedup_pairs(docs, max_hamming=6).collect()
+    assert len(got) > 0
+    sigs = {
+        r.id: r.sig
+        for r in docs.select(
+            F.col("doc_id").alias("id"), dedup.simhash64(F.col("text")).alias("sig")
+        ).collect()
+    }
+    for r in got:
+        ham = bin((sigs[r.a] ^ sigs[r.b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        assert ham == r.hamming <= 6
+
+
+def test_embedding_dup_pairs(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # plant exact duplicates to guarantee recall targets
+    dup = emb.limit(5).withColumn("vec_id", F.col("vec_id") + 100000)
+    both = emb.unionByName(dup)
+    got = dedup.embedding_dup_pairs(both, threshold=0.999)
+    pairs = {(r.a, r.b) for r in got.collect()}
+    for i in range(5):
+        assert (i, i + 100000) in pairs

@@ -1,0 +1,65 @@
+"""Similarity search: brute-force exactness vs numpy, IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pdfmef_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    rows = emb.limit(3).collect()
+    return emb.sparkSession.createDataFrame(
+        [(r.vec_id, r.embedding) for r in rows], "q_id long, q_vec array<double>"
+    )
+
+
+def test_brute_force_matches_numpy(spark, emb, queries):
+    got = similarity.brute_force_topk(emb, queries, k=5).collect()
+    data = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    for q in queries.collect():
+        qv = np.array(q.q_vec)
+        sims = {
+            vid: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+            for vid, v in data.items()
+        }
+        expect = sorted(sims, key=lambda i: (-round(sims[i], 9), i))[:5]
+        mine = [r.vec_id for r in sorted(got, key=lambda r: r.rank) if r.q_id == q.q_id]
+        assert mine == expect
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark, emb, queries):
+    bf = similarity.brute_force_topk(emb, queries, k=10).collect()
+    ivf = similarity.ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=8).collect()
+    key = lambda rows: sorted((r.q_id, r.vec_id, r.rank) for r in rows)  # noqa: E731
+    assert key(ivf) == key(bf)
+
+
+def test_ivf_recall_at_10(spark, emb, queries):
+    bf = similarity.brute_force_topk(emb, queries, k=10).collect()
+    ivf = similarity.ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=8).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r.q_id, set()).add(r.vec_id)
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r.q_id, set()).add(r.vec_id)
+    recalls = [len(bf_sets[q] & ivf_sets.get(q, set())) / 10 for q in bf_sets]
+    # testdata embeddings are ~isotropic random (within-label cosine ~0.02),
+    # the worst case for IVF: probing half the cells must still recover the
+    # (always-probed) self-cell neighbors plus ~nprobe/n of the rest.
+    assert sum(recalls) / len(recalls) >= 0.75, recalls
