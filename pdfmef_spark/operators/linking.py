@@ -21,7 +21,7 @@ Scale design (the part that must survive 10^12 docs):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window as W, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F, types as T
 
 from pdfmef_spark.functions import char_shingles, normalize_surface
 
@@ -56,47 +56,60 @@ def _band_hashes(shingle_col):
     return F.array(*bands)
 
 
+def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
+    """Generate (type, a, b) pairs within each bucket with ONE shuffle:
+    groupBy bucket -> sorted member list (capped) -> JVM-side pair
+    expansion (transform x slice) -> explode.
+
+    Replaces the window-count + self-join formulation: one exchange
+    instead of three, and pair expansion happens bucket-locally inside
+    codegen — the shape that survives 10^12-row inputs (hot buckets are
+    dropped by the cap before any pair materializes).
+    """
+    grouped = keyed.groupBy(*bucket_cols).agg(
+        F.array_sort(F.collect_set("norm")).alias("members")
+    )
+    small = grouped.filter(
+        (F.size("members").between(2, cap))
+    )
+    pairs = small.select(
+        F.col("type"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("members"),
+                            i + 2,
+                            F.greatest(F.size("members") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    )
+    return pairs.select("type", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+
+
 def candidate_pairs(keys: DataFrame) -> DataFrame:
-    """(type, a, b) candidate pairs, a < b, from LSH bands + last-token blocks."""
+    """(type, a, b) candidate pairs, a < b, from LSH bands + last-token
+    blocks + two-token-prefix blocks (each a single-shuffle bucket pass)."""
     norms = keys.select("type", "norm").distinct()
     sh = norms.withColumn("sh", char_shingles(F.col("norm")))
 
     banded = sh.select(
         "type", "norm", F.posexplode(_band_hashes(F.col("sh"))).alias("band", "bh")
     )
-    w = W.partitionBy("type", "band", "bh")
-    banded = banded.withColumn("bsize", F.count("*").over(w)).filter(
-        F.col("bsize") <= BUCKET_CAP
-    )
-    lsh_pairs = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.type") == F.col("y.type"))
-            & (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bh") == F.col("y.bh"))
-            & (F.col("x.norm") < F.col("y.norm")),
-        )
-        .select(F.col("x.type").alias("type"), F.col("x.norm").alias("a"), F.col("y.norm").alias("b"))
-    )
+    lsh_pairs = _bucket_pairs(banded, ["type", "band", "bh"], BUCKET_CAP)
 
     # last-token block: catches initialisms ("a turing" ~ "alan turing")
     # whose shingle overlap is too low for the LSH bands.
-    tok = norms.withColumn("tok", F.substring_index("norm", " ", -1))
-    wt = W.partitionBy("type", "tok")
-    tok = tok.withColumn("tsize", F.count("*").over(wt)).filter(
-        (F.col("tsize") <= TOKEN_BLOCK_CAP) & (F.length("tok") > 1)
+    tok = norms.withColumn("tok", F.substring_index("norm", " ", -1)).filter(
+        F.length("tok") > 1
     )
-    tok_pairs = (
-        tok.alias("x")
-        .join(
-            tok.alias("y"),
-            (F.col("x.type") == F.col("y.type"))
-            & (F.col("x.tok") == F.col("y.tok"))
-            & (F.col("x.norm") < F.col("y.norm")),
-        )
-        .select(F.col("x.type").alias("type"), F.col("x.norm").alias("a"), F.col("y.norm").alias("b"))
-    )
+    tok_pairs = _bucket_pairs(tok, ["type", "tok"], TOKEN_BLOCK_CAP)
 
     # two-token-prefix block: catches truncation aliases
     # ("orbital logic" ~ "orbital logic systems") whose shingle Jaccard
@@ -104,20 +117,7 @@ def candidate_pairs(keys: DataFrame) -> DataFrame:
     pre = norms.filter(F.size(F.split("norm", " ")) >= 2).withColumn(
         "pre2", F.substring_index("norm", " ", 2)
     )
-    wp = W.partitionBy("type", "pre2")
-    pre = pre.withColumn("psize", F.count("*").over(wp)).filter(
-        F.col("psize") <= TOKEN_BLOCK_CAP
-    )
-    pre_pairs = (
-        pre.alias("x")
-        .join(
-            pre.alias("y"),
-            (F.col("x.type") == F.col("y.type"))
-            & (F.col("x.pre2") == F.col("y.pre2"))
-            & (F.col("x.norm") < F.col("y.norm")),
-        )
-        .select(F.col("x.type").alias("type"), F.col("x.norm").alias("a"), F.col("y.norm").alias("b"))
-    )
+    pre_pairs = _bucket_pairs(pre, ["type", "pre2"], TOKEN_BLOCK_CAP)
 
     return lsh_pairs.unionByName(tok_pairs).unionByName(pre_pairs).distinct()
 

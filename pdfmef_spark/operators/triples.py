@@ -157,15 +157,35 @@ def extract_triples(extracted: DataFrame, lang_gate: str | None = "en") -> DataF
 
 
 def mentions_from_triples(triples: DataFrame) -> DataFrame:
-    """Typed entity mentions = subjects + objects of non-DOC triple slots."""
-    subj = triples.filter(F.col("subj_type") != "DOC").select(
-        "url", F.col("subj").alias("surface"), F.col("subj_type").alias("type"),
-        "span_start", "span_end",
+    """Typed entity mentions = subjects + objects of non-DOC triple slots.
+
+    Single-pass: both slots explode from one scan (a union of two
+    projections would compute the whole upstream extract chain twice
+    when the triples table is not materialized)."""
+    both = triples.select(
+        "url",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj").alias("surface"),
+                    F.col("subj_type").alias("type"),
+                    F.col("span_start").alias("span_start"),
+                    F.col("span_end").alias("span_end"),
+                ),
+                F.struct(
+                    F.col("obj").alias("surface"),
+                    # title strings are not entity mentions
+                    F.when(F.col("pred") == "hasTitle", F.lit("DOC"))
+                    .otherwise(F.col("obj_type"))
+                    .alias("type"),
+                    F.lit(None).cast("int").alias("span_start"),
+                    F.lit(None).cast("int").alias("span_end"),
+                ),
+            )
+        ).alias("m"),
     )
-    obj = triples.filter(
-        (F.col("obj_type") != "DOC") & (F.col("pred") != "hasTitle")
-    ).select(
-        "url", F.col("obj").alias("surface"), F.col("obj_type").alias("type"),
-        F.lit(None).cast("int").alias("span_start"), F.lit(None).cast("int").alias("span_end"),
+    return (
+        both.filter(F.col("m.type") != "DOC")
+        .select("url", "m.surface", "m.type", "m.span_start", "m.span_end")
+        .dropDuplicates(["url", "surface", "type"])
     )
-    return subj.unionByName(obj).dropDuplicates(["url", "surface", "type"])

@@ -35,6 +35,7 @@ class StageResult:
     df: DataFrame
     recomputed: bool
     rows: int = -1
+    seconds: float = 0.0
 
 
 @dataclass
@@ -76,38 +77,34 @@ def _write_stage(
         if error_col and error_col in out.columns
         else F.lit(0)
     )
-    per_part = (
+    # single counters job: per-partition rows/errors/sha collected once; the
+    # stage-total row is derived driver-side (count = sum, sha = xor of xors)
+    per_part_rows = (
         out.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(
             F.count("*").alias("rows_out"),
             err_expr.cast("long").alias("n_errors"),
-            F.conv(F.hex(F.coalesce(F.bit_xor(F.xxhash64(F.struct("*"))), F.lit(0))), 16, 16).alias("content_sha"),
+            F.coalesce(F.bit_xor(F.xxhash64(F.struct("*"))), F.lit(0)).alias("sha_long"),
         )
-        .withColumn("run_id", F.lit(run_id))
-        .withColumn("stage", F.lit(stage))
-        .withColumn("status", F.lit("partition_done"))
-        .withColumn("rows_in", F.lit(None).cast("long"))
-        .withColumn("updated_ts", F.current_timestamp())
+        .collect()
     )
-    total = out.agg(
-        F.count("*").alias("rows_out"),
-        err_expr.cast("long").alias("n_errors"),
-        F.conv(F.hex(F.coalesce(F.bit_xor(F.xxhash64(F.struct("*"))), F.lit(0))), 16, 16).alias("content_sha"),
-    ).withColumns(
-        {
-            "partition_id": F.lit(-1),
-            "run_id": F.lit(run_id),
-            "stage": F.lit(stage),
-            "status": F.lit("complete"),
-            "rows_in": F.lit(None).cast("long"),
-            "updated_ts": F.current_timestamp(),
-        }
-    )
-    cols = ["run_id", "stage", "partition_id", "status", "rows_in", "rows_out",
-            "n_errors", "content_sha", "updated_ts"]
-    per_part.select(*cols).unionByName(total.select(*cols)).write.mode("append").parquet(
-        _manifest_path(out_dir)
-    )
+    total_rows = sum(r.rows_out for r in per_part_rows)
+    total_errs = sum(r.n_errors for r in per_part_rows)
+    total_sha = 0
+    for r in per_part_rows:
+        total_sha ^= r.sha_long
+    records = [
+        (run_id, stage, int(r.partition_id), "partition_done", None,
+         int(r.rows_out), int(r.n_errors), format(r.sha_long & (2**64 - 1), "x"))
+        for r in per_part_rows
+    ] + [(run_id, stage, -1, "complete", None, total_rows, total_errs,
+          format(total_sha & (2**64 - 1), "x"))]
+    manifest = spark.createDataFrame(
+        records,
+        "run_id string, stage string, partition_id int, status string, "
+        "rows_in long, rows_out long, n_errors long, content_sha string",
+    ).withColumn("updated_ts", F.current_timestamp())
+    manifest.coalesce(1).write.mode("append").parquet(_manifest_path(out_dir))
     return out
 
 
@@ -130,8 +127,9 @@ def run_pipeline(
             df = spark.read.parquet(f"{out_dir}/{name}")
             run.results[name] = StageResult(name, df, recomputed=False)
             return df
+        t0 = time.time()
         df = _write_stage(spark, out_dir, run_id, name, build(), error_col=error_col)
-        run.results[name] = StageResult(name, df, recomputed=True)
+        run.results[name] = StageResult(name, df, recomputed=True, seconds=round(time.time() - t0, 2))
         return df
 
     extracted = stage("extracted", lambda: extract.extract_pages(pages), error_col="error")

@@ -49,8 +49,11 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     if shuffle_partitions is None:
         shuffle_partitions = max(int(cores), 32)
+    # local[N, 4]: allow 4 task attempts — the same resilience a cluster
+    # gets from spark.task.maxFailures; a transient python-worker death
+    # must not kill a whole run (this sandbox VM occasionally drops one)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(f"local[{cores},4]")
         .appName(app_name)
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -66,8 +66,11 @@ def materialize_corpus(
     pages = corpus.pages_df(spark, n).withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(N_BUCKETS)).cast("int")
     )
-    # url-hash partitioned layout: co-locates every per-url join downstream
-    pages.repartition(N_BUCKETS, "bucket").write.mode("overwrite").parquet(f"{out}/pages")
+    # url-hash bucket column for co-located joins; round-robin repartition
+    # for the file count (hashing the bucket column itself collides and
+    # leaves ~1/3 of output files empty -> capped scan parallelism)
+    n_files = max(N_BUCKETS, spark.sparkContext.defaultParallelism * 2)
+    pages.repartition(n_files).write.mode("overwrite").parquet(f"{out}/pages")
     corpus.golden_triples_df(spark, n).write.mode("overwrite").parquet(f"{out}/golden_triples")
     corpus.golden_surfaces_df(spark, n).write.mode("overwrite").parquet(f"{out}/golden_surfaces")
     corpus.golden_entities_df(spark).write.mode("overwrite").parquet(f"{out}/golden_entities")

@@ -27,9 +27,12 @@ def _union_find_oracle(edges):
     return {x: find(x) for x in parent}
 
 
-def _check(spark, edges):
+def _check(spark, edges, driver_cutoff):
     df = spark.createDataFrame(edges, "src string, dst string")
-    got = {r.node: r.component for r in connected_components(df).collect()}
+    got = {
+        r.node: r.component
+        for r in connected_components(df, driver_cutoff=driver_cutoff).collect()
+    }
     oracle = _union_find_oracle(edges)
     # canonical rep = min of component in both cases
     comp_of = {}
@@ -39,20 +42,44 @@ def _check(spark, edges):
     assert got == expected
 
 
-def test_small_graphs(spark):
-    _check(spark, [("a", "b"), ("b", "c"), ("d", "e")])
-    _check(spark, [("a", "a1"), ("a1", "a2"), ("a2", "a3"), ("z", "a3")])
+import pytest  # noqa: E402
+
+# driver_cutoff=0 forces the distributed large-star/small-star path;
+# the default exercises the small-graph driver union-find fast path
+CUTOFFS = [0, 10**6]
 
 
-def test_random_graph_matches_union_find(spark):
+@pytest.mark.parametrize("cutoff", CUTOFFS)
+def test_small_graphs(spark, cutoff):
+    _check(spark, [("a", "b"), ("b", "c"), ("d", "e")], cutoff)
+    _check(spark, [("a", "a1"), ("a1", "a2"), ("a2", "a3"), ("z", "a3")], cutoff)
+
+
+@pytest.mark.parametrize("cutoff", CUTOFFS)
+def test_random_graph_matches_union_find(spark, cutoff):
     rng = random.Random(7)
     nodes = [f"n{i:03d}" for i in range(200)]
     edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(300)]
     edges = [(a, b) for a, b in edges if a != b]
-    _check(spark, edges)
+    _check(spark, edges, cutoff)
 
 
-def test_long_chain(spark):
+@pytest.mark.parametrize("cutoff", CUTOFFS)
+def test_long_chain(spark, cutoff):
     """Pathological diameter — exercises the O(log n) convergence."""
     edges = [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(120)]
-    _check(spark, edges)
+    _check(spark, edges, cutoff)
+
+
+def test_both_paths_agree_on_corpus_links(spark, smoke_pages):
+    """End-to-end: driver fast path == distributed path on real link data."""
+    from pdfmef_spark.operators import extract, linking, triples as triples_op
+
+    ext = extract.extract_pages(smoke_pages)
+    mentions = triples_op.mentions_from_triples(triples_op.extract_triples(ext))
+    links = linking.link_entities(mentions).select(
+        "src", "dst"
+    )
+    a = sorted(map(tuple, connected_components(links, driver_cutoff=0).collect()))
+    b = sorted(map(tuple, connected_components(links, driver_cutoff=10**6).collect()))
+    assert a == b

@@ -1,0 +1,78 @@
+"""Incremental batch (anti-join ledger) + Structured Streaming window agg."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from pdfmef_spark.streaming import incremental, stream
+
+
+def test_incremental_ticks_process_each_row_once(spark, tmp_path):
+    snapshot1 = spark.range(0, 100).select(F.concat(F.lit("u"), "id").alias("url"))
+    snapshot2 = spark.range(0, 150).select(F.concat(F.lit("u"), "id").alias("url"))
+    ledger = incremental.Ledger(spark, str(tmp_path / "ledger"))
+
+    seen: list[int] = []
+
+    def stage(df):
+        seen.append(df.count())
+        return df
+
+    out1 = incremental.run_incremental(snapshot1, ledger, stage, batch_id=1)
+    assert out1.count() == 100
+    # second tick over a grown snapshot: only the 50 new rows process
+    out2 = incremental.run_incremental(snapshot2, ledger, stage, batch_id=2)
+    assert out2.count() == 50
+    # third tick, nothing new
+    out3 = incremental.run_incremental(snapshot2, ledger, stage, batch_id=3)
+    assert out3.count() == 0
+    led = ledger.read()
+    assert led.count() == 150
+    assert led.select("url").distinct().count() == 150
+
+
+def test_incremental_crash_before_commit_is_safe(spark, tmp_path):
+    snapshot = spark.range(0, 40).select(F.concat(F.lit("u"), "id").alias("url"))
+    ledger = incremental.Ledger(spark, str(tmp_path / "ledger2"))
+
+    class Boom(Exception):
+        pass
+
+    def crashing(df):
+        raise Boom()
+
+    try:
+        incremental.run_incremental(snapshot, ledger, crashing, batch_id=1)
+    except Boom:
+        pass
+    assert ledger.read().count() == 0  # nothing claimed
+    out = incremental.run_incremental(snapshot, ledger, lambda d: d, batch_id=2)
+    assert out.count() == 40  # full batch reruns
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    """File-source stream -> watermark + tumbling window -> memory sink."""
+    src = tmp_path / "events_in"
+    os.makedirs(src)
+    rows = [
+        {"event_id": i, "ts": f"2024-01-01T00:{i % 50:02d}:00Z", "user_id": i % 5,
+         "event_type": "click" if i % 2 == 0 else "view", "value": 1.5, "props": "{}"}
+        for i in range(100)
+    ]
+    with open(src / "part1.json", "w") as fh:
+        for r in rows[:60]:
+            fh.write(json.dumps(r) + "\n")
+    with open(src / "part2.json", "w") as fh:
+        for r in rows[60:]:
+            fh.write(json.dumps(r) + "\n")
+
+    q = stream.run_stream_to_memory(spark, str(src), query_name="t_counts")
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM t_counts")
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == 100
+    # 50 distinct minutes -> 5 ten-minute windows x 2 types
+    assert out.count() == 10

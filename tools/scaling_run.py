@@ -1,0 +1,183 @@
+"""Scaling-efficiency evidence (north_rule two-cluster-size criterion).
+
+Runs the identical job on the identical input at two parallelism levels
+(default local[2] vs local[8] — N vs 4N cores, the sandbox stand-in for
+N vs 4N executors) and reports throughput at both plus
+
+    efficiency = docs_per_sec(4N) / (4 * docs_per_sec(N))
+
+Measurement design for this sandbox (a burstable VM whose effective CPU
+capacity swings 3-4x over minutes — see BENCH.md "environment caveat"):
+both child JVMs stay resident and the parent ALTERNATES timed runs
+between them (lo, hi, lo, hi, ...), taking the best of 3 per config, so
+a throttle phase cannot land entirely on one side. Each child warms up
+once (python workers, JIT, OS page cache) before its timed runs.
+
+Jobs:
+* ``extract`` — the metric named in BASELINE.json: docs/sec end-to-end
+  triple-extraction throughput (pages -> extract -> triples -> mentions,
+  single action). Doc-parallel; scales with corpus size.
+* ``full`` — whole pipeline incl. linking/components/graph and stage
+  writes (reported for completeness; at sf0.1 its wall time is mostly
+  fixed stage latency, so its "efficiency" is not the headline number).
+
+Usage:
+    python tools/scaling_run.py                    # both jobs -> JSON
+    python tools/scaling_run.py --serve extract 8  # internal child
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF_EXTRACT = float(os.environ.get("SCALING_SF", "1.0"))  # 500k pages
+SF_FULL = float(os.environ.get("SCALING_SF_FULL", "0.1"))
+REPS = int(os.environ.get("SCALING_REPS", "3"))
+
+
+def _session(cores: int):
+    from pdfmef_spark.session import get_spark
+
+    return get_spark(
+        f"scaling_{cores}", cores=cores, shuffle_partitions=max(cores * 2, 16)
+    )
+
+
+def serve(job: str, cores: int) -> None:
+    """Child: build the job once, then run it on every RUN command."""
+    spark = _session(cores)
+
+    if job == "extract":
+        from pdfmef_spark.operators import extract, triples as triples_op
+        from pdfmef_spark.sources import store
+
+        pages = store.read_pages(spark, SF_EXTRACT)
+        n_docs = pages.count()
+
+        def run_once() -> dict:
+            trip = triples_op.extract_triples(extract.extract_pages(pages))
+            n = triples_op.mentions_from_triples(trip).count()
+            return {"mentions": n}
+
+    else:  # full
+        from pdfmef_spark import pipeline as P
+        from pdfmef_spark.sources import store
+
+        pages = store.read_pages(spark, SF_FULL)
+        n_docs = pages.count()
+
+        def run_once() -> dict:
+            out_dir = tempfile.mkdtemp(prefix=f"scal_{cores}_")
+            try:
+                run = P.run_pipeline(spark, pages, out_dir, run_id=f"s{cores}")
+                return {"edges": run.df("edges").count()}
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+
+    print(f"READY {n_docs}", flush=True)
+    for line in sys.stdin:
+        cmd = line.strip()
+        if cmd == "RUN":
+            t0 = time.time()
+            extra = run_once()
+            print(f"TIME {time.time() - t0:.2f} {json.dumps(extra)}", flush=True)
+        elif cmd == "EXIT":
+            break
+
+
+class Child:
+    def __init__(self, job: str, cores: int):
+        self.cores = cores
+        self.proc = subprocess.Popen(
+            [sys.executable, __file__, "--serve", job, str(cores)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            text=True, cwd="/root/repo",
+        )
+        line = self._read_until(("READY",))
+        self.n_docs = int(line.split()[1])
+
+    def _read_until(self, prefixes) -> str:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"child {self.cores} died")
+            if line.startswith(prefixes):
+                return line
+
+    def run(self) -> tuple[float, dict]:
+        self.proc.stdin.write("RUN\n")
+        self.proc.stdin.flush()
+        line = self._read_until(("TIME",))
+        _, sec, extra = line.split(" ", 2)
+        return float(sec), json.loads(extra)
+
+    def close(self):
+        try:
+            self.proc.stdin.write("EXIT\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=30)
+        except Exception:
+            self.proc.kill()
+
+
+def measure(job: str, lo: int, hi: int) -> dict:
+    c_lo, c_hi = Child(job, lo), Child(job, hi)
+    try:
+        # warm-up both (not timed)
+        c_lo.run()
+        c_hi.run()
+        lo_times, hi_times, extra = [], [], {}
+        for _ in range(REPS):  # interleave so throttle phases hit both sides
+            t, extra = c_lo.run()
+            lo_times.append(t)
+            t, extra = c_hi.run()
+            hi_times.append(t)
+    finally:
+        c_lo.close()
+        c_hi.close()
+    best_lo, best_hi = min(lo_times), min(hi_times)
+    dps_lo, dps_hi = c_lo.n_docs / best_lo, c_hi.n_docs / best_hi
+    return {
+        "lo": {"cores": lo, "seconds": round(best_lo, 2), "all_seconds": lo_times,
+               "docs": c_lo.n_docs, "docs_per_sec": round(dps_lo, 2)},
+        "hi": {"cores": hi, "seconds": round(best_hi, 2), "all_seconds": hi_times,
+               "docs": c_hi.n_docs, "docs_per_sec": round(dps_hi, 2)},
+        "scaling_efficiency": round(dps_hi / ((hi / lo) * dps_lo), 3),
+        **extra,
+    }
+
+
+def main() -> None:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--serve":
+        serve(sys.argv[2], int(sys.argv[3]))
+        return
+
+    lo = int(os.environ.get("SCALING_LO", "2"))
+    hi = int(os.environ.get("SCALING_HI", "8"))
+    from pdfmef_spark.session import get_spark
+    from pdfmef_spark.sources import store
+
+    warm = get_spark("warm")
+    store.materialize_corpus(warm, SF_EXTRACT)
+    store.materialize_corpus(warm, SF_FULL)
+    warm.stop()
+
+    result: dict = {"sf_extract": SF_EXTRACT, "sf_full": SF_FULL, "reps": REPS}
+    result["extract"] = measure("extract", lo, hi)
+    result["full"] = measure("full", lo, hi)
+    print(json.dumps(result, indent=2))
+    os.makedirs("/root/repo/.cache", exist_ok=True)
+    with open("/root/repo/.cache/scaling_result.json", "w") as fh:
+        json.dump(result, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()
