@@ -654,3 +654,56 @@ def doc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.document_profile(d).select(
         "doc_id", "lang_pred", "quality", "fingerprint"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# kg graph stages (rows-only; golden-gated in pytest via test_pipeline /
+# test_linking — cluster P/R >= 0.95)
+# ---------------------------------------------------------------------------
+
+def _kg_graph(spark: SparkSession, sf_dir: str):
+    from pdfmef_spark.operators import components, extract, graph, linking, triples as triples_op
+    from pdfmef_spark.sources import store
+
+    pages = store.read_pages(spark, _sf(sf_dir))
+    trip = triples_op.extract_triples(extract.extract_pages(pages))
+    mentions = triples_op.mentions_from_triples(trip)
+    keys = linking.surface_keys(mentions)
+    links = linking.link_entities(mentions)
+    assignments = components.assign_components(keys, links)
+    return graph.materialize_graph(trip, keys, assignments)
+
+
+@_register("kg_nodes")
+def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized entity nodes (alias clusters merged)."""
+    nodes, _ = _kg_graph(spark, sf_dir)
+    return nodes.orderBy(F.desc("n_mentions"), "canonical").limit(100)
+
+
+@_register("kg_edges_top")
+def kg_edges_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest graph edges joined back to canonical names — the hub
+    entity surfaces here (skew sanity check)."""
+    nodes, edges = _kg_graph(spark, sf_dir)
+    n1 = nodes.select(F.col("entity_id").alias("src"), F.col("canonical").alias("src_name"))
+    n2 = nodes.select(F.col("entity_id").alias("dst"), F.col("canonical").alias("dst_name"))
+    return (
+        edges.join(F.broadcast(n1), "src")
+        .join(F.broadcast(n2), "dst")
+        .select("src_name", "pred", "dst_name", "weight")
+        .orderBy(F.desc("weight"), "src_name", "pred", "dst_name")
+        .limit(50)
+    )
+
+
+@_register("kg_entity_links")
+def kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accepted linking pairs (LSH blocking + scoring), highest first."""
+    from pdfmef_spark.operators import extract, linking, triples as triples_op
+    from pdfmef_spark.sources import store
+
+    pages = store.read_pages(spark, _sf(sf_dir))
+    trip = triples_op.extract_triples(extract.extract_pages(pages))
+    mentions = triples_op.mentions_from_triples(trip)
+    return linking.link_entities(mentions).orderBy(F.desc("score"), "src", "dst")

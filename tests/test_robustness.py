@@ -1,0 +1,63 @@
+"""Robustness: arbitrary/hostile inputs must produce rows or error rows,
+never task failures (the 10^12-row contract)."""
+
+from __future__ import annotations
+
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from pdfmef_spark.operators.extract import extract_html_bytes
+from pdfmef_spark.operators.triples import extract_relations
+
+html_ish = st.text(
+    alphabet=string.printable + "é漢字🌐<>&\"'", min_size=0, max_size=600
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(html_ish)
+def test_extract_never_raises_and_is_deterministic(s):
+    raw = s.encode("utf-8", errors="replace")
+    out1 = extract_html_bytes(raw)
+    out2 = extract_html_bytes(raw)
+    assert out1 == out2
+    text, links, title, nb = out1
+    assert isinstance(text, str) and nb == len([b for b in text.split("\n") if b])
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=string.printable + "é漢字", min_size=0, max_size=400))
+def test_relations_never_raise(s):
+    out = extract_relations(s)
+    for (subj, pred, obj, *_rest) in out:
+        assert pred in {
+            "hasTitle", "hasAuthor", "hasKeyword", "worksFor",
+            "locatedIn", "foundedBy", "affiliatedWith",
+        }
+
+
+def test_malformed_rows_in_spark(spark):
+    """Garbage pages through the full extract+triples stages: rows out,
+    zero task failures."""
+    from pdfmef_spark.operators import extract, triples as triples_op
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("u1", None, "en"),
+        ("u2", b"", "en"),
+        ("u3", b"\xff\xfe\x00broken", "en"),
+        ("u4", b"<html><body><p>ok works for Acme Corp.</p></body></html>", "en"),
+        ("u5", ("<p>" * 5000).encode(), "en"),
+        ("u6", b"<script>while(1){}</script><p>text</p>", "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, lang string")
+    ext = extract.extract_pages(pages)
+    got = {r.url: r for r in ext.collect()}
+    assert got["u1"].error is not None
+    assert got["u2"].error is None and got["u2"].text == ""
+    assert got["u4"].text == "ok works for Acme Corp."
+    assert got["u6"].text == "text"
+    trips = triples_op.extract_triples(ext)
+    preds = {r.pred for r in trips.collect()}
+    assert "worksFor" in preds or "hasTitle" in preds
