@@ -284,3 +284,38 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup: near-dup pairs -> clusters -> keeper selection
+# ---------------------------------------------------------------------------
+
+def dedup_keep_min(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Collapse near-duplicate clusters to one keeper row each.
+
+    pairs(a, b) are near-dup edges (from any of the pair generators
+    above); clusters = connected components over them; keeper = min id
+    per cluster. Returns docs + `keep boolean` + `cluster_id` (the
+    keeper's id; rows outside any pair keep themselves).
+
+    The same CC machinery as entity canonicalization
+    (operators/components.py) — one implementation, two pipeline uses.
+    """
+    from pyspark.sql import types as T
+
+    from pdfmef_spark.operators.components import connected_components
+
+    # zero-pad numeric ids: CC's min-representative is lexicographic on
+    # string nodes ("114" < "89" otherwise)
+    pad = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
+    edges = pairs.select(pad(F.col("a")).alias("src"), pad(F.col("b")).alias("dst"))
+    comp = connected_components(edges)
+    id_type = dict(docs.dtypes)[id_col]
+    assign = comp.select(
+        F.col("node").cast(id_type).alias(id_col),
+        F.col("component").cast(id_type).alias("cluster_id"),
+    )
+    out = docs.join(assign, id_col, "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", F.col(id_col))
+    )
+    return out.withColumn("keep", F.col("cluster_id") == F.col(id_col))

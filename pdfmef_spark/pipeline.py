@@ -52,60 +52,72 @@ def _manifest_path(out_dir: str) -> str:
     return f"{out_dir}/manifest"
 
 
-def _stage_complete(spark: SparkSession, out_dir: str, stage: str) -> bool:
+def _completed_stages(spark: SparkSession, out_dir: str) -> set[str]:
+    """One manifest read per run (not one per stage)."""
     mp = _manifest_path(out_dir)
     if not os.path.exists(mp):
-        return False
+        return set()
     m = spark.read.parquet(mp)
-    return (
-        m.filter((F.col("stage") == stage) & (F.col("status") == "complete")).limit(1).count()
-        > 0
-    )
+    return {
+        r.stage
+        for r in m.filter(F.col("status") == "complete").select("stage").distinct().collect()
+    }
 
 
 def _write_stage(
     spark: SparkSession, out_dir: str, run_id: str, stage: str, df: DataFrame,
     error_col: str | None = None,
 ) -> DataFrame:
-    """Write stage output + manifest (per-partition counters, content sha)."""
-    path = f"{out_dir}/{stage}"
-    df.write.mode("overwrite").parquet(path)
-    out = spark.read.parquet(path)
+    """Write stage output + manifest — ZERO extra passes over the data.
 
+    Totals (rows, errors, content sha) ride the write job itself via
+    ``df.observe``; per-partition row counts come from the parquet file
+    footers (one output file per task). The reference recovers the same
+    information by re-parsing its result log (src/extractor/main.py:23-41)
+    — here it is observed once and stored as data.
+    """
+    path = f"{out_dir}/{stage}"
     err_expr = (
         F.sum(F.when(F.col(error_col).isNotNull(), 1).otherwise(0))
-        if error_col and error_col in out.columns
-        else F.lit(0)
+        if error_col and error_col in df.columns
+        else F.sum(F.lit(0))
     )
-    # single counters job: per-partition rows/errors/sha collected once; the
-    # stage-total row is derived driver-side (count = sum, sha = xor of xors)
-    per_part_rows = (
-        out.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.count("*").alias("rows_out"),
-            err_expr.cast("long").alias("n_errors"),
-            F.coalesce(F.bit_xor(F.xxhash64(F.struct("*"))), F.lit(0)).alias("sha_long"),
+    from pyspark.sql import Observation
+
+    obs = Observation(f"{stage}_metrics")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_out"),
+        err_expr.cast("long").alias("n_errors"),
+        F.coalesce(F.bit_xor(F.xxhash64(F.struct("*"))), F.lit(0)).alias("sha_long"),
+    )
+    observed.write.mode("overwrite").parquet(path)
+    totals = obs.get
+
+    # per-partition rows from parquet footers (driver-side metadata read;
+    # on object storage this is the same footer fetch the next scan does)
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    records = []
+    for f in sorted(_glob.glob(f"{path}/part-*.parquet")):
+        pid = int(os.path.basename(f).split("-")[1])
+        records.append(
+            (run_id, stage, pid, "partition_done", None,
+             pq.ParquetFile(f).metadata.num_rows, None, None)
         )
-        .collect()
+    records.append(
+        (run_id, stage, -1, "complete", None, int(totals["rows_out"]),
+         int(totals["n_errors"]), format(int(totals["sha_long"]) & (2**64 - 1), "x"))
     )
-    total_rows = sum(r.rows_out for r in per_part_rows)
-    total_errs = sum(r.n_errors for r in per_part_rows)
-    total_sha = 0
-    for r in per_part_rows:
-        total_sha ^= r.sha_long
-    records = [
-        (run_id, stage, int(r.partition_id), "partition_done", None,
-         int(r.rows_out), int(r.n_errors), format(r.sha_long & (2**64 - 1), "x"))
-        for r in per_part_rows
-    ] + [(run_id, stage, -1, "complete", None, total_rows, total_errs,
-          format(total_sha & (2**64 - 1), "x"))]
     manifest = spark.createDataFrame(
         records,
         "run_id string, stage string, partition_id int, status string, "
         "rows_in long, rows_out long, n_errors long, content_sha string",
     ).withColumn("updated_ts", F.current_timestamp())
     manifest.coalesce(1).write.mode("append").parquet(_manifest_path(out_dir))
-    return out
+    return spark.read.parquet(path)
 
 
 def run_pipeline(
@@ -122,8 +134,10 @@ def run_pipeline(
     os.makedirs(out_dir, exist_ok=True)
     run = PipelineRun(out_dir=out_dir, run_id=run_id)
 
+    completed = _completed_stages(spark, out_dir)
+
     def stage(name: str, build, error_col: str | None = None) -> DataFrame:
-        if _stage_complete(spark, out_dir, name):
+        if name in completed:
             df = spark.read.parquet(f"{out_dir}/{name}")
             run.results[name] = StageResult(name, df, recomputed=False)
             return df

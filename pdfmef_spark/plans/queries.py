@@ -831,3 +831,20 @@ def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_customers"))
         .orderBy("c_mktsegment")
     )
+
+
+@_register("dedup_collapse_clusters")
+def dedup_collapse_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup: near-dup pairs -> connected components -> keeper
+    per cluster (rows-only: CC over hash-blocked pairs; pytest verifies
+    against a union-find oracle)."""
+    from pdfmef_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    out = dedup.dedup_keep_min(d, pairs)
+    return (
+        out.groupBy("keep")
+        .agg(F.count("*").alias("n_docs"), F.countDistinct("cluster_id").alias("n_clusters"))
+        .orderBy("keep")
+    )

@@ -76,3 +76,37 @@ def test_embedding_dup_pairs(spark):
     pairs = {(r.a, r.b) for r in got.collect()}
     for i in range(5):
         assert (i, i + 100000) in pairs
+
+
+def test_dedup_keep_min(spark, docs):
+    """Cluster collapse: keeper = min doc_id per near-dup component,
+    verified against a python union-find over the same pairs."""
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    out = dedup.dedup_keep_min(docs, pairs)
+    got = {r.doc_id: (r.cluster_id, r.keep) for r in out.collect()}
+    # python oracle
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for x in parent:
+        comp_min.setdefault(find(x), set()).add(x)
+    expect_cluster = {x: min(comp_min[find(x)]) for x in parent}
+    n_docs = docs.count()
+    assert len(got) == n_docs
+    for doc_id, (cluster, keep) in got.items():
+        expect = expect_cluster.get(doc_id, doc_id)
+        assert cluster == expect
+        assert keep == (doc_id == expect)
+    # at least one cluster actually collapsed
+    assert sum(1 for _, (c, k) in got.items() if not k) > 0

@@ -56,3 +56,13 @@ def test_mentions(spark, smoke_pages):
     tp = got.join(gold, ["url", "surface"], "inner").count()
     assert tp / gold.count() >= 0.95
     assert tp / got.count() >= 0.95
+
+
+def test_triple_pr_at_sf001(spark):
+    """P/R gate re-run at 10x corpus (5k pages) — the driver's sf."""
+    pages = store.read_pages(spark, 0.01)
+    got = _pipeline_triples(spark, pages).select(*KEY).dropDuplicates(KEY)
+    gold = store.read_golden(spark, 0.01, "golden_triples").select(*KEY).dropDuplicates(KEY)
+    n_got, n_gold = got.count(), gold.count()
+    tp = got.join(gold, KEY, "inner").count()
+    assert tp / n_got >= 0.95 and tp / n_gold >= 0.95
