@@ -14,9 +14,16 @@ the driver's pre-registered testdata views and carry full oracles.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# make the engine importable regardless of the driver's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 def _flagship(spark: SparkSession, sf: float) -> DataFrame:

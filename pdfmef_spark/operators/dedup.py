@@ -77,12 +77,14 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 def minhash_signature(shingle_col, n_hashes: int = 64):
-    """Array of n_hashes minima of per-seed xxhash64 over shingles."""
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_col, lambda s, seed=i: F.xxhash64(s, F.lit(seed))))
-            for i in range(n_hashes)
-        ]
+    """Array of n_hashes minima of per-index xxhash64 over shingles.
+
+    Single nested transform (index as lambda variable): unrolling
+    n_hashes separate array_min expressions inflates the generated
+    code enough to cost ~15 s of Janino compile time per plan."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, i))),
     )
 
 
@@ -98,15 +100,13 @@ def minhash_dedup_pairs(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
     ).filter(F.size("sh") > 0)
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-    bands = sig.select(
-        "id",
-        "sh",
-        F.posexplode(
-            F.array(
-                *[F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]) for b in range(n_bands)]
-            )
-        ).alias("band", "bh"),
+    band_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.xxhash64(
+            *[F.element_at(F.col("sig"), b * r + j + 1) for j in range(r)]
+        ),
     )
+    bands = sig.select("id", "sh", F.posexplode(band_expr).alias("band", "bh"))
     w = W.partitionBy("band", "bh")
     bands = bands.withColumn("bsize", F.count("*").over(w)).filter(F.col("bsize") <= bucket_cap)
     cand = (

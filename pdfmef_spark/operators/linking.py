@@ -43,17 +43,30 @@ def surface_keys(mentions: DataFrame) -> DataFrame:
 
 
 def _band_hashes(shingle_col):
-    """Array of N_BANDS band hashes from JVM-side MinHash signatures."""
-    bands = []
-    for b in range(N_BANDS):
-        mins = [
-            F.array_min(
-                F.transform(shingle_col, lambda s, seed=b * ROWS_PER_BAND + r: F.xxhash64(s, F.lit(seed)))
-            )
-            for r in range(ROWS_PER_BAND)
-        ]
-        bands.append(F.xxhash64(*mins))
-    return F.array(*bands)
+    """Array of N_BANDS band hashes from JVM-side MinHash signatures.
+
+    One compact nested expression — hash index rides as a lambda
+    variable into xxhash64(shingle, idx). (Unrolling 64 copies of
+    array_min(transform(...)) makes Janino compile a huge generated
+    class: ~15-20 s of fixed plan-compile latency per job.)
+    """
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda i: F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, i))),
+    )
+
+    def bands_of(sig_col):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+            lambda b: F.xxhash64(
+                *[
+                    F.element_at(sig_col, b * ROWS_PER_BAND + r + 1)
+                    for r in range(ROWS_PER_BAND)
+                ]
+            ),
+        )
+
+    return sig, bands_of
 
 
 def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
@@ -99,8 +112,10 @@ def candidate_pairs(keys: DataFrame) -> DataFrame:
     norms = keys.select("type", "norm").distinct()
     sh = norms.withColumn("sh", char_shingles(F.col("norm")))
 
-    banded = sh.select(
-        "type", "norm", F.posexplode(_band_hashes(F.col("sh"))).alias("band", "bh")
+    sig_expr, bands_of = _band_hashes(F.col("sh"))
+    banded = (
+        sh.withColumn("sig", sig_expr)
+        .select("type", "norm", F.posexplode(bands_of(F.col("sig"))).alias("band", "bh"))
     )
     lsh_pairs = _bucket_pairs(banded, ["type", "band", "bh"], BUCKET_CAP)
 
