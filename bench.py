@@ -66,21 +66,32 @@ def main() -> None:
     timings["kg_e2e"] = round(kg_sec, 3)
     docs_per_sec = round(n_docs / kg_sec, 2)
 
-    print(
-        json.dumps(
-            {
-                "metric": "kg_pipeline_e2e_plus_headline_queries",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "docs": n_docs,
-                "edges": n_edges,
-                "docs_per_sec": docs_per_sec,
-                "cpus": cpus,
-            }
-        )
-    )
+    out = {
+        "metric": "kg_pipeline_e2e_plus_headline_queries",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs": n_docs,
+        "edges": n_edges,
+        "docs_per_sec": docs_per_sec,
+        "cpus": cpus,
+        "kg_stages": {k: v.seconds for k, v in run.results.items()},
+    }
+    # attach the latest scaling evidence if tools/scaling_run.py has run
+    scal = "/root/repo/.cache/scaling_result.json"
+    if os.path.exists(scal):
+        with open(scal) as fh:
+            s = json.load(fh)
+        out["scaling"] = {
+            "extract_docs_per_sec": {
+                str(s["extract"]["lo"]["cores"]): s["extract"]["lo"]["docs_per_sec"],
+                str(s["extract"]["hi"]["cores"]): s["extract"]["hi"]["docs_per_sec"],
+            },
+            "extract_efficiency": s["extract"]["scaling_efficiency"],
+            "sf": s.get("sf_extract"),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

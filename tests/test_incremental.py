@@ -76,3 +76,38 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert total == 100
     # 50 distinct minutes -> 5 ten-minute windows x 2 types
     assert out.count() == 10
+
+
+def test_stateful_stream_dedup(spark, tmp_path):
+    """applyInPandasWithState: duplicated events across micro-batches emit
+    exactly once per (user, event_id)."""
+    from pdfmef_spark.streaming import stateful, stream as stream_mod
+
+    src = tmp_path / "dup_events"
+    os.makedirs(src)
+    mk = lambda i: {  # noqa: E731
+        "event_id": i, "ts": f"2024-01-01T00:{i % 50:02d}:00Z", "user_id": i % 3,
+        "event_type": "click", "value": 1.0, "props": "{}",
+    }
+    with open(src / "b1.json", "w") as fh:
+        for i in list(range(30)) + list(range(10)):  # dups within batch
+            fh.write(json.dumps(mk(i)) + "\n")
+    with open(src / "b2.json", "w") as fh:
+        for i in range(20, 50):  # 20-29 replayed across batches
+            fh.write(json.dumps(mk(i)) + "\n")
+
+    events = spark.readStream.schema(stream_mod.EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = (
+        stateful.dedup_stream_first_seen(events)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT event_id, user_id FROM dedup_stream").collect()
+    ids = [r.event_id for r in out]
+    assert sorted(ids) == list(range(50))  # each id exactly once
