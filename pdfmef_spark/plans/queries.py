@@ -848,3 +848,49 @@ def dedup_collapse_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.countDistinct("cluster_id").alias("n_clusters"))
         .orderBy("keep")
     )
+
+
+@_register(
+    "events_asof_thresholds",
+    oracle="""
+    WITH thresholds AS (
+      SELECT t.event_type,
+             TIMESTAMP '2024-01-01' + INTERVAL (d.d) DAY AS ts,
+             (d.d * 7 + len(t.event_type)) % 100 AS level
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS d) d
+    )
+    SELECT e.event_type, t.level,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e
+    ASOF JOIN thresholds t
+      ON e.event_type = t.event_type AND e.ts >= t.ts
+    GROUP BY e.event_type, t.level
+    ORDER BY e.event_type, t.level
+    """,
+)
+def events_asof_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of backward join (custom operator, operators/asof.py) against a
+    deterministic per-type daily threshold series; DuckDB's native
+    ASOF JOIN is the oracle."""
+    from pdfmef_spark.operators.asof import asof_join_backward
+
+    e = _t(spark, sf_dir, "events")
+    types = e.select("event_type").distinct()
+    thresholds = (
+        types.crossJoin(spark.range(0, 31).select(F.col("id").alias("d")))
+        .select(
+            "event_type",
+            (F.lit("2024-01-01").cast("timestamp") + F.make_interval(days=F.col("d").cast("int"))).alias("ts"),
+            ((F.col("d") * 7 + F.length("event_type")) % 100).alias("level"),
+        )
+    )
+    joined = asof_join_backward(
+        e, thresholds, ts_col="ts", by=["event_type"], value_cols=["level"]
+    )
+    return (
+        joined.groupBy("event_type", "level")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("event_type", "level")
+    )
