@@ -894,3 +894,50 @@ def events_asof_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
         .orderBy("event_type", "level")
     )
+
+
+@_register(
+    "user_value_zscores",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n,
+           round(max(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0 END), 4) AS max_z,
+           round(min(CASE WHEN sd > 0 THEN (value - mu) / sd ELSE 0 END), 4) AS min_z
+    FROM stats
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-user z-score
+    normalization — the UDAF/grouped-transform surface. The oracle
+    states the same computation as window SQL; both must agree, which
+    also pins the Arrow group-transfer semantics."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        z = (pdf["value"] - mu) / sd if sd and sd > 0 else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "z": z}
+        )
+
+    zs = e.groupBy("user_id").applyInPandas(zscore, "user_id long, event_id long, z double")
+    return (
+        zs.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("z"), 4).alias("max_z"),
+            F.round(F.min("z"), 4).alias("min_z"),
+        )
+        .orderBy("user_id")
+    )
