@@ -6,8 +6,12 @@ composition:
 
     union(left tagged, right tagged)
       -> window per key ordered by (ts, tag)
-      -> last_value(right cols, ignoreNulls) carried forward
+      -> last_value(right-row STRUCT, ignoreNulls) carried forward
       -> keep left rows
+
+The matched right row is carried as a single struct so multi-column
+values stay atomic — per-column last(ignorenulls) could stitch values
+from different right rows when a right row carries NULLs.
 
 Scale notes: the window partitions by the `by` key, so parallelism =
 key cardinality; for un-keyed as-of at scale you range-partition by
@@ -28,12 +32,19 @@ def asof_join_backward(
     ts_col: str,
     by: list[str],
     value_cols: list[str],
+    how: str = "left",
 ) -> DataFrame:
-    """left + latest-right-at-or-before per `by` key. Left rows with no
-    earlier right row get NULL value_cols (left-outer as-of)."""
+    """left + latest-right-at-or-before per `by` key.
+
+    how='left' (default): left rows with no earlier right row survive
+    with NULL value_cols — DuckDB `ASOF LEFT JOIN` semantics.
+    how='inner': such rows are dropped — DuckDB `ASOF JOIN` semantics.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
     l_tag = left.withColumn("__tag", F.lit(1))
     r_tag = right.select(
-        *by, ts_col, *value_cols
+        *by, ts_col, F.struct(*[F.col(v) for v in value_cols]).alias("__rv")
     ).withColumn("__tag", F.lit(0))
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
     w = (
@@ -41,6 +52,10 @@ def asof_join_backward(
         .orderBy(F.col(ts_col), F.col("__tag"))
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    for v in value_cols:
-        unioned = unioned.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    return unioned.filter(F.col("__tag") == 1).drop("__tag")
+    carried = unioned.withColumn("__rv", F.last("__rv", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__tag") == 1)
+    if how == "inner":
+        out = out.filter(F.col("__rv").isNotNull())
+    return out.select(
+        *left.columns, *[F.col(f"__rv.{v}").alias(v) for v in value_cols]
+    )

@@ -39,19 +39,27 @@ def word_shingles(col, k: int = 3):
 
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 3, threshold: float = 0.8, block_prefix: int = 16,
+    k: int = 3, threshold: float = 0.8, block_cap: int | None = 64,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs blocked by shared shingle.
 
-    Blocking: explode shingles, pair docs sharing a shingle (capped),
-    then exact Jaccard via array_intersect/union on the pair.
+    Blocking: explode shingles, pair docs sharing a shingle (capped at
+    `block_cap` docs per shingle; None = uncapped exact semantics — any
+    pair with J >= threshold shares a shingle, so uncapped recall is 1.0
+    by construction), then exact Jaccard via array_intersect/union.
+    The cap is the 100-TB shape: a stop-phrase shingle shared by millions
+    of docs must not expand quadratically; capped blocking trades recall
+    on low-signal shingles for a bounded reducer.
     """
     base = docs.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
     )
     ex = base.select("id", F.explode("sh").alias("g"))
-    w = W.partitionBy("g")
-    ex = ex.withColumn("gsize", F.count("*").over(w)).filter(F.col("gsize") <= 64)
+    if block_cap is not None:
+        w = W.partitionBy("g")
+        ex = ex.withColumn("gsize", F.count("*").over(w)).filter(
+            F.col("gsize") <= block_cap
+        )
     cand = (
         ex.alias("x")
         .join(ex.alias("y"), (F.col("x.g") == F.col("y.g")) & (F.col("x.id") < F.col("y.id")))
@@ -300,20 +308,42 @@ def dedup_keep_min(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
 
     The same CC machinery as entity canonicalization
     (operators/components.py) — one implementation, two pipeline uses.
-    """
-    from pyspark.sql import types as T
 
+    Ids round-trip through a reversible node encoding: numeric ids are
+    zero-padded (lexicographic min == numeric min for non-negative
+    values; negative/other ids still cluster correctly — the keeper is
+    then the deterministic lexicographic-min representative), and the
+    raw id rides alongside in a node->id map joined back after CC, so
+    string / arbitrary ids never suffer a lossy cast.
+    """
     from pdfmef_spark.operators.components import connected_components
 
-    # zero-pad numeric ids: CC's min-representative is lexicographic on
-    # string nodes ("114" < "89" otherwise)
-    pad = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
-    edges = pairs.select(pad(F.col("a")).alias("src"), pad(F.col("b")).alias("dst"))
-    comp = connected_components(edges)
     id_type = dict(docs.dtypes)[id_col]
-    assign = comp.select(
-        F.col("node").cast(id_type).alias(id_col),
-        F.col("component").cast(id_type).alias("cluster_id"),
+    integral = id_type in ("tinyint", "smallint", "int", "bigint")
+    if integral:
+        enc = lambda c: F.lpad(c.cast("string"), 20, "0")  # noqa: E731
+    else:
+        enc = lambda c: c.cast("string")  # noqa: E731
+
+    endpoints = (
+        pairs.select(F.col("a").alias("raw"))
+        .union(pairs.select(F.col("b").alias("raw")))
+        .distinct()
+        .withColumn("node", enc(F.col("raw")))
+    )
+    edges = pairs.select(enc(F.col("a")).alias("src"), enc(F.col("b")).alias("dst"))
+    comp = connected_components(edges)
+    # node -> raw id on both sides of the assignment (reversible encoding)
+    assign = (
+        comp.join(endpoints, "node")
+        .select(F.col("raw").alias(id_col), F.col("component"))
+        .join(
+            endpoints.select(
+                F.col("node").alias("component"), F.col("raw").alias("cluster_id")
+            ),
+            "component",
+        )
+        .select(id_col, "cluster_id")
     )
     out = docs.join(assign, id_col, "left").withColumn(
         "cluster_id", F.coalesce("cluster_id", F.col(id_col))

@@ -350,7 +350,7 @@ def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     big = o.filter(F.col("o_totalprice") > 150000).select(F.col("o_custkey").alias("c_custkey"))
     rows = [
-        ("except", building.exceptAll(big).distinct() if False else building.subtract(big)),
+        ("except", building.subtract(big)),
         ("intersect", building.intersect(big)),
         ("union", building.union(big).distinct()),
     ]
@@ -518,33 +518,12 @@ def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3gram Jaccard near-dup pairs (J >= 0.8): the verifiable
     anchor of the dedup family (MinHash/SimHash approximate the same set)."""
+    from pdfmef_spark.operators import dedup
+
     d = _t(spark, sf_dir, "documents")
     # uncapped blocking here: any pair with J >= 0.8 shares a gram, and the
     # oracle has no cap — semantics must match exactly
-    return _ngram_uncapped(d, 0.8).orderBy("a", "b")
-
-
-def _ngram_uncapped(d: DataFrame, threshold: float) -> DataFrame:
-    from pdfmef_spark.operators.dedup import word_shingles
-
-    base = d.select(F.col("doc_id").alias("id"), word_shingles(F.col("text"), 3).alias("sh"))
-    ex = base.select("id", F.explode("sh").alias("g"))
-    cand = (
-        ex.alias("x")
-        .join(ex.alias("y"), (F.col("x.g") == F.col("y.g")) & (F.col("x.id") < F.col("y.id")))
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .distinct()
-    )
-    return (
-        cand.join(base.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
-        .join(base.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return dedup.ngram_jaccard_pairs(d, threshold=0.8, block_cap=None).orderBy("a", "b")
 
 
 @_register("minhash_dedup")
@@ -841,7 +820,9 @@ def dedup_collapse_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdfmef_spark.operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8)
+    # uncapped pairs: the oracle (recursive-CTE CC over exact-Jaccard
+    # pairs) has no blocking cap, so semantics must match exactly
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.8, block_cap=None)
     out = dedup.dedup_keep_min(d, pairs)
     return (
         out.groupBy("keep")
@@ -864,7 +845,7 @@ def dedup_collapse_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            round(sum(e.value), 2) AS sum_value
     FROM events e
-    ASOF JOIN thresholds t
+    ASOF LEFT JOIN thresholds t
       ON e.event_type = t.event_type AND e.ts >= t.ts
     GROUP BY e.event_type, t.level
     ORDER BY e.event_type, t.level

@@ -52,12 +52,26 @@ def run_incremental(
     ledger: Ledger,
     stage_fn,
     batch_id: int,
+    sink_fn=None,
 ) -> DataFrame:
-    """One incremental tick: claim -> process -> commit; returns the
-    processed output. A crash before commit() leaves the ledger
-    untouched -> the batch reruns in full next tick (at-least-once with
-    idempotent downstream writes = effectively-once)."""
+    """One incremental tick: claim -> process -> SINK -> commit; returns
+    the processed output.
+
+    The ledger commits strictly AFTER the output is durable: if
+    `sink_fn(out)` is given it performs the downstream write; otherwise
+    the output is eagerly materialized (localCheckpoint) so stage
+    failures surface before any claim is recorded. A crash anywhere
+    before commit() leaves the ledger untouched -> the batch reruns in
+    full next tick (at-least-once with idempotent downstream writes =
+    effectively-once). Committing before the write would silently skip
+    rows on a crash between commit and write (at-most-once) — the
+    ordering here is the correctness-critical part.
+    """
     todo = ledger.unprocessed(snapshot)
     out = stage_fn(todo)
+    if sink_fn is not None:
+        sink_fn(out)
+    else:
+        out = out.localCheckpoint(eager=True)
     ledger.commit(todo, batch_id)
     return out

@@ -37,7 +37,7 @@ def test_ngram_jaccard_matches_python_oracle(spark, docs):
     expected = _exact_jaccard_pairs(rows, threshold=0.7)
     got = {
         (r.a, r.b)
-        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.7, block_prefix=10**6).collect()
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.7, block_cap=None).collect()
     }
     assert got == expected and len(expected) > 0
 
@@ -110,3 +110,22 @@ def test_dedup_keep_min(spark, docs):
         assert keep == (doc_id == expect)
     # at least one cluster actually collapsed
     assert sum(1 for _, (c, k) in got.items() if not k) > 0
+
+
+def test_dedup_keep_min_string_ids(spark):
+    """String doc ids round-trip through the node encoding: the join back
+    to docs must match (regression: padded nodes never matched raw ids)."""
+    docs = spark.createDataFrame(
+        [("doc-a", "x"), ("doc-b", "x"), ("doc-zz", "y"), ("solo", "z")],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-b", "doc-zz")], "a string, b string"
+    )
+    out = {r.doc_id: (r.cluster_id, r.keep) for r in dedup.dedup_keep_min(docs, pairs).collect()}
+    assert out == {
+        "doc-a": ("doc-a", True),
+        "doc-b": ("doc-a", False),
+        "doc-zz": ("doc-a", False),
+        "solo": ("solo", True),
+    }

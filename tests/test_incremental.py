@@ -53,6 +53,34 @@ def test_incremental_crash_before_commit_is_safe(spark, tmp_path):
     assert out.count() == 40  # full batch reruns
 
 
+def test_incremental_crash_in_sink_leaves_ledger_untouched(spark, tmp_path):
+    """The ledger commits only AFTER the downstream write succeeds: a
+    sink crash must not claim the batch (else rows are silently skipped
+    on the next tick — at-most-once instead of at-least-once)."""
+    snapshot = spark.range(0, 25).select(F.concat(F.lit("u"), "id").alias("url"))
+    ledger = incremental.Ledger(spark, str(tmp_path / "ledger3"))
+    sink_path = str(tmp_path / "out")
+
+    class SinkBoom(Exception):
+        pass
+
+    def bad_sink(df):
+        raise SinkBoom()
+
+    try:
+        incremental.run_incremental(snapshot, ledger, lambda d: d, batch_id=1, sink_fn=bad_sink)
+    except SinkBoom:
+        pass
+    assert ledger.read().count() == 0  # write failed -> nothing claimed
+
+    def good_sink(df):
+        df.write.mode("overwrite").parquet(sink_path)
+
+    incremental.run_incremental(snapshot, ledger, lambda d: d, batch_id=2, sink_fn=good_sink)
+    assert spark.read.parquet(sink_path).count() == 25
+    assert ledger.read().count() == 25
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     """File-source stream -> watermark + tumbling window -> memory sink."""
     src = tmp_path / "events_in"
