@@ -287,6 +287,21 @@ def _page_content(i: int, n: int) -> dict:
         off += len(al) + len(" and ")
     blocks.append({"text": byline, "triples": btrips, "anchors": []})
 
+    # abstract -> hasAbstract (reference header entity: tei.py:81-92 strips
+    # the heading and double-unescapes the body; here the heading is the
+    # "Abstract: " prefix and ~1/13 bodies carry a literal entity escape
+    # ("R&amp;D" in text -> "R&D" in the golden object) to pin the
+    # second-unescape contract).
+    abs_body = " ".join(
+        _sent_distractor(rng, used)[0] for _ in range(rng.randint(1, 2))
+    )
+    if i % 13 == 4:
+        abs_body = abs_body[:-1] + " at the R&amp;D group."
+    abs_block = "Abstract: " + abs_body
+    blocks.append({"text": abs_block, "triples": [
+        ("__URL__", "hasAbstract", html_mod.unescape(abs_body), "DOC", "TERM",
+         len("Abstract: "), len(abs_body))], "anchors": []})
+
     hub_here = rng.random() < 0.10  # hub entity on ~10% of pages
     n_paras = rng.randint(2, 4)
     for pi in range(n_paras):
@@ -504,17 +519,21 @@ def golden_surfaces_df(spark: SparkSession, n: int, parallelism: int | None = No
     return spark.range(n, numPartitions=parallelism).mapInPandas(gen, schema=_GOLDEN_SURFACES_SCHEMA)
 
 
-def golden_entities_df(spark: SparkSession) -> DataFrame:
-    rows = [
+def golden_entity_rows() -> list[tuple]:
+    return [
         (e["entity_key"], e["canonical"], e["type"], e["aliases"])
         for e in PERSONS + ORGS + PLACES + TERMS
     ]
+
+
+def golden_entities_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
-        rows, "entity_key string, canonical string, type string, aliases array<string>"
+        golden_entity_rows(),
+        "entity_key string, canonical string, type string, aliases array<string>",
     )
 
 
-def golden_links_df(spark: SparkSession) -> DataFrame:
+def golden_link_rows() -> list[tuple]:
     """Labeled surface pairs: positives within clusters, hard negatives across."""
     rng = random.Random(f"{SEED}-links")
     rows = []
@@ -543,4 +562,10 @@ def golden_links_df(spark: SparkSession) -> DataFrame:
     for _ in range(300):
         a, b = rng.sample(pool, 2)
         rows.append((a["canonical"], b["canonical"], False))
-    return spark.createDataFrame(rows, "surface_a string, surface_b string, same_entity boolean")
+    return rows
+
+
+def golden_links_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        golden_link_rows(), "surface_a string, surface_b string, same_entity boolean"
+    )

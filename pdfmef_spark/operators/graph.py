@@ -69,10 +69,11 @@ def materialize_graph(
 
     smap = F.broadcast(surface_map) if broadcast_map else surface_map
 
-    # hasTitle is a document attribute, not a graph relation — the title
-    # string is not an entity mention (mirrors the reference, where title
-    # lives in the header XML, tei.py:31-35, not in the citation graph).
-    t = triples.filter(F.col("pred") != "hasTitle")
+    # hasTitle/hasAbstract are document attributes, not graph relations —
+    # those strings are not entity mentions (mirrors the reference, where
+    # title/abstract live in the header XML, tei.py:31-35 + 81-92, not in
+    # the citation graph).
+    t = triples.filter(~F.col("pred").isin("hasTitle", "hasAbstract"))
 
     # subject side: DOC subjects hash directly; entity subjects via map
     subj_map = smap.select(

@@ -13,6 +13,9 @@ Relation patterns (closed predicate set, FIXTURES.md §2):
   - "<X> is affiliated with <Y>." -> (X, affiliatedWith, Y) PERSON->ORG
   - first block                 -> (url, hasTitle, block)
   - "By A and B" byline block   -> (url, hasAuthor, A/B)
+  - "Abstract: ..." block       -> (url, hasAbstract, body) with a second
+    HTML unescape of the body (reference: TEItoHeader abstract handling,
+    csxextract/extractors/tei.py:81-92 — heading strip + double unescape)
   - "Tags: a, b" block          -> (url, hasKeyword, each)
   - in-content <a href>         -> (url, cites, href)   [from extract stage]
 
@@ -23,6 +26,7 @@ Everything is per-row pure Python inside an Arrow batch; no shuffle.
 
 from __future__ import annotations
 
+import html as html_mod
 import re
 from typing import Iterator
 
@@ -38,6 +42,7 @@ _PATTERNS = [
     (" is affiliated with ", "affiliatedWith", "PERSON", "ORG"),
 ]
 _TAGS_PREFIX = "Tags: "
+_ABSTRACT_PREFIX = "Abstract: "
 _BYLINE = re.compile(r"^By (.+)$")
 
 
@@ -98,6 +103,12 @@ def extract_relations(text: str) -> list[tuple]:
                 out.append(("__URL__", "hasAuthor", name, "DOC", "PERSON",
                             cursor, cursor + len(name), 0.95))
                 cursor += len(name) + len(" and ")
+        elif block.startswith(_ABSTRACT_PREFIX):
+            body = block[len(_ABSTRACT_PREFIX):]
+            # second unescape: the extract stage already unescaped the page
+            # once; header entities get the reference's double-unescape
+            out.append(("__URL__", "hasAbstract", html_mod.unescape(body), "DOC",
+                        "TERM", off + len(_ABSTRACT_PREFIX), off + len(block), 0.95))
         elif block.startswith(_TAGS_PREFIX):
             cursor = off + len(_TAGS_PREFIX)
             for kw in block[len(_TAGS_PREFIX):].split(", "):
@@ -174,8 +185,8 @@ def mentions_from_triples(triples: DataFrame) -> DataFrame:
                 ),
                 F.struct(
                     F.col("obj").alias("surface"),
-                    # title strings are not entity mentions
-                    F.when(F.col("pred") == "hasTitle", F.lit("DOC"))
+                    # title/abstract strings are doc attributes, not mentions
+                    F.when(F.col("pred").isin("hasTitle", "hasAbstract"), F.lit("DOC"))
                     .otherwise(F.col("obj_type"))
                     .alias("type"),
                     F.lit(None).cast("int").alias("span_start"),

@@ -30,6 +30,22 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 
+def _kg_dir() -> str:
+    """Absolute sf0.01 corpus cache path embedded in kg_* oracle SQL.
+
+    The driver's correctness gate runs at sf=0.01; the oracle strings
+    are static, so they pin that path. `oracles()` bootstraps the cache
+    Spark-free (sources/bootstrap.py) so DuckDB can read it even when
+    the oracle side runs before any Spark query materialized it.
+    """
+    from pdfmef_spark.sources import store
+
+    return store.corpus_dir(0.01)
+
+
+_KG = _kg_dir()
+
+
 def _register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         _QUERIES[name] = fn
@@ -45,6 +61,16 @@ def catalog() -> dict[str, QueryFn]:
 
 
 def oracles() -> dict[str, str]:
+    # the kg_* oracles read_parquet() the materialized corpus/golden
+    # tables — build them (Spark-free) if the Spark side hasn't already
+    try:
+        from pdfmef_spark.sources import bootstrap
+
+        bootstrap.ensure_corpus(0.01)
+    except Exception as exc:  # pragma: no cover — driver still gets the dict
+        import sys
+
+        print(f"corpus bootstrap failed: {exc!r}", file=sys.stderr)
     return dict(_ORACLES)
 
 
@@ -62,9 +88,21 @@ def _sf(sf_dir: str) -> float:
     return store.sf_of_dir(sf_dir)
 
 
-@_register("kg_text_sha")
+@_register(
+    "kg_text_sha",
+    oracle=f"""
+    SELECT url, sha256_text
+    FROM read_parquet('{_KG}/pages/*.parquet')
+    ORDER BY url
+    """,
+)
 def kg_text_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extract stage byte-identity evidence: (url, sha256_text)."""
+    """Extract stage byte-identity evidence: (url, sha256_text).
+
+    The oracle is the generator's own sha256 column — the driver's hash
+    gate becomes exactly the per-url byte-identity invariant from
+    BASELINE.json input_hint (reference analog: per-file conversion
+    checksums, bin/processCrawls.pl:159-170)."""
     from pdfmef_spark.operators import extract
     from pdfmef_spark.sources import store
 
@@ -72,16 +110,44 @@ def kg_text_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract.text_sha256(extract.extract_pages(pages)).orderBy("url")
 
 
-@_register("kg_triples")
+@_register(
+    "kg_triples",
+    oracle=f"""
+    SELECT DISTINCT url, subj, pred, obj
+    FROM read_parquet('{_KG}/golden_triples/*.parquet')
+    ORDER BY url, subj, pred, obj
+    """,
+)
 def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emitted (subj, pred, obj) set vs the planted golden truth — the
+    north_rule P/R gate as an exact-equality driver check (P = R = 1.0
+    on this corpus; pytest additionally gates spans and types)."""
     from pdfmef_spark.operators import extract, triples as triples_op
     from pdfmef_spark.sources import store
 
     pages = store.read_pages(spark, _sf(sf_dir))
-    return triples_op.extract_triples(extract.extract_pages(pages))
+    trip = triples_op.extract_triples(extract.extract_pages(pages))
+    return trip.select("url", "subj", "pred", "obj").orderBy(
+        "url", "subj", "pred", "obj"
+    )
 
 
-@_register("kg_top_entities")
+@_register(
+    "kg_top_entities",
+    oracle=f"""
+    WITH m AS (
+      SELECT DISTINCT url, surface,
+             CASE split_part(entity_key, ':', 1)
+               WHEN 'person' THEN 'PERSON' WHEN 'org' THEN 'ORG'
+               WHEN 'place' THEN 'PLACE' ELSE 'TERM' END AS type
+      FROM read_parquet('{_KG}/golden_surfaces/*.parquet')
+    )
+    SELECT surface, type, count(*) AS n_mentions
+    FROM m GROUP BY surface, type
+    ORDER BY n_mentions DESC, surface
+    LIMIT 10
+    """,
+)
 def kg_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: scan -> Arrow extract -> triples -> mention agg -> top-10."""
     from pdfmef_spark.operators import extract, triples as triples_op
@@ -494,9 +560,11 @@ def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup / similarity / text-analysis operators (training-data pipeline)
 # ---------------------------------------------------------------------------
 
-@_register(
-    "ngram_jaccard_dedup",
-    oracle="""
+# exact word-3gram Jaccard pairs at J >= 0.8, restated relationally —
+# shared by the exact-dedup oracle AND the MinHash-LSH oracle (LSH
+# candidates + exact verification must recover exactly this set; a hash
+# change that drops recall below 1.0 at sf0.01 fails the driver gate)
+_NGRAM08_SQL = """
     WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') t FROM documents),
     grams AS (
       SELECT doc_id, list_distinct(list_transform(
@@ -513,8 +581,10 @@ def part_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
     WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
     ORDER BY a, b
-    """,
-)
+    """
+
+
+@_register("ngram_jaccard_dedup", oracle=_NGRAM08_SQL)
 def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3gram Jaccard near-dup pairs (J >= 0.8): the verifiable
     anchor of the dedup family (MinHash/SimHash approximate the same set)."""
@@ -526,11 +596,14 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, threshold=0.8, block_cap=None).orderBy("a", "b")
 
 
-@_register("minhash_dedup")
+@_register("minhash_dedup", oracle=_NGRAM08_SQL)
 def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-Jaccard verified (rows-only driver
-    check: candidate generation is hash-dependent; pytest asserts recall
-    >= 0.95 and precision == 1.0 vs the exact-Jaccard set)."""
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified. The oracle is
+    the exact J >= 0.8 pair set: the final verification step makes
+    precision exactly 1.0, and 16 bands x 4 rows gives band-collision
+    probability 1-(1-J^4)^16 >= 0.9997 at J = 0.8, so LSH recall is 1.0
+    on this corpus — the driver gate catches any regression that drops
+    a true pair (pytest separately gates recall >= 0.95 at sf0.001)."""
     from pdfmef_spark.operators import dedup
 
     return dedup.minhash_dedup_pairs(
@@ -622,16 +695,63 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@_register("doc_quality_lang")
+def _lang_votes_sql(lang: str) -> str:
+    from pdfmef_spark.operators.textstats import _LANG_MARKERS
+
+    return " + ".join(f"(list_contains(tl, '{w}'))::INT" for w in _LANG_MARKERS[lang])
+
+
+_QUALITY_LANG_SQL = f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(text) AS DOUBLE) AS chars,
+             CAST(len(regexp_replace(text, '[^.!?]', '', 'g')) AS DOUBLE) AS terms,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS toks,
+             CAST(len(regexp_replace(text, '[^A-Za-zÀ-ɏ一-鿿]', '', 'g')) AS DOUBLE) AS alpha_chars,
+             CAST(len(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE) AS cjk,
+             regexp_split_to_array(lower(text), '\\s+') AS tl
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, chars, terms, toks, alpha_chars, cjk,
+             {{en}} AS ven, {{de}} AS vde, {{fr}} AS vfr, {{es}} AS ves
+      FROM f
+    )
+    SELECT doc_id,
+           CASE WHEN cjk / greatest(chars, 1.0) > 0.2 THEN 'zh'
+                WHEN greatest(ven, vde, vfr, ves) >= 2 THEN
+                  CASE WHEN ven >= vde AND ven >= vfr AND ven >= ves THEN 'en'
+                       WHEN vde >= vfr AND vde >= ves THEN 'de'
+                       WHEN vfr >= ves THEN 'fr'
+                       ELSE 'es' END
+                ELSE 'und' END AS lang_pred,
+           round(0.3 * (least(chars / 200.0, 1.0) * least(20000.0 / greatest(chars, 1.0), 1.0))
+               + 0.2 * least(terms / greatest(toks / 30.0, 1.0), 1.0)
+               + 0.2 * least(CAST(ven AS DOUBLE) / greatest(toks * 0.02, 1.0), 1.0)
+               + 0.3 * (alpha_chars / greatest(chars, 1.0)), 6) AS quality
+    FROM v
+    ORDER BY doc_id
+    """
+
+
+@_register(
+    "doc_quality_lang",
+    oracle=_QUALITY_LANG_SQL.format(
+        en=_lang_votes_sql("en"), de=_lang_votes_sql("de"),
+        fr=_lang_votes_sql("fr"), es=_lang_votes_sql("es"),
+    ),
+)
 def doc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality score + heuristic lang-id + rolling fingerprint per doc
-    (rows-only: xxhash64 fingerprint and float-formula parity have no
-    robust cross-engine oracle; pytest checks accuracy and ranges)."""
+    """Quality score + heuristic lang-id per doc, full oracle: the SQL
+    restates the closed-form C4/Gopher-style heuristics term by term
+    (generated from the same marker lists — no drift). The xxhash64
+    rolling fingerprint stays in `document_profile` and is pytest-gated
+    (no cross-engine hash counterpart)."""
     from pdfmef_spark.operators import textstats
 
     d = _t(spark, sf_dir, "documents")
     return textstats.document_profile(d).select(
-        "doc_id", "lang_pred", "quality", "fingerprint"
+        "doc_id", "lang_pred", "quality"
     ).orderBy("doc_id")
 
 
@@ -653,14 +773,81 @@ def _kg_graph(spark: SparkSession, sf_dir: str):
     return graph.materialize_graph(trip, keys, assignments)
 
 
-@_register("kg_nodes")
+@_register(
+    "kg_nodes",
+    oracle=f"""
+    WITH s AS (
+      SELECT surface, entity_key, count(DISTINCT url) AS freq
+      FROM read_parquet('{_KG}/golden_surfaces/*.parquet')
+      GROUP BY surface, entity_key
+    ),
+    ranked AS (
+      SELECT entity_key, surface, freq,
+             row_number() OVER (PARTITION BY entity_key
+                                ORDER BY freq DESC, len(surface) DESC, surface DESC) AS rn,
+             sum(freq) OVER (PARTITION BY entity_key) AS total
+      FROM s
+    )
+    SELECT surface AS canonical,
+           CASE split_part(entity_key, ':', 1)
+             WHEN 'person' THEN 'PERSON' WHEN 'org' THEN 'ORG'
+             WHEN 'place' THEN 'PLACE' ELSE 'TERM' END AS type,
+           CAST(total AS BIGINT) AS n_mentions
+    FROM ranked WHERE rn = 1
+    ORDER BY n_mentions DESC, canonical
+    LIMIT 100
+    """,
+)
 def kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonicalized entity nodes (alias clusters merged)."""
+    """Canonicalized entity nodes (alias clusters merged). The oracle
+    recomputes nodes from the golden entity partition — an exact check
+    that linking + CC reproduce the planted clusters (canonical = the
+    same deterministic max_by the graph stage uses)."""
     nodes, _ = _kg_graph(spark, sf_dir)
-    return nodes.orderBy(F.desc("n_mentions"), "canonical").limit(100)
+    return (
+        nodes.orderBy(F.desc("n_mentions"), "canonical")
+        .limit(100)
+        .select("canonical", "type", "n_mentions")
+    )
 
 
-@_register("kg_edges_top")
+@_register(
+    "kg_edges_top",
+    oracle=f"""
+    WITH t AS (
+      SELECT DISTINCT url, subj, pred, obj, subj_type, obj_type
+      FROM read_parquet('{_KG}/golden_triples/*.parquet')
+      WHERE pred NOT IN ('hasTitle', 'hasAbstract')
+    ),
+    s AS (
+      SELECT surface, entity_key, count(DISTINCT url) AS freq
+      FROM read_parquet('{_KG}/golden_surfaces/*.parquet')
+      GROUP BY surface, entity_key
+    ),
+    canon AS (
+      SELECT entity_key, surface AS canonical FROM (
+        SELECT entity_key, surface,
+               row_number() OVER (PARTITION BY entity_key
+                                  ORDER BY freq DESC, len(surface) DESC, surface DESC) AS rn
+        FROM s
+      ) WHERE rn = 1
+    ),
+    smap AS (SELECT s.surface, c.canonical FROM s JOIN canon c USING (entity_key)),
+    e AS (
+      SELECT CASE WHEN t.subj_type = 'DOC' THEN t.subj ELSE ms.canonical END AS src_name,
+             t.pred,
+             CASE WHEN t.obj_type = 'DOC' THEN t.obj ELSE mo.canonical END AS dst_name
+      FROM t LEFT JOIN smap ms ON t.subj = ms.surface
+             LEFT JOIN smap mo ON t.obj = mo.surface
+    )
+    SELECT src_name, pred, dst_name, count(*) AS weight
+    FROM e
+    WHERE src_name IS NOT NULL AND dst_name IS NOT NULL
+    GROUP BY src_name, pred, dst_name
+    ORDER BY weight DESC, src_name, pred, dst_name
+    LIMIT 50
+    """,
+)
 def kg_edges_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaviest graph edges joined back to canonical names — the hub
     entity surfaces here (skew sanity check)."""
@@ -812,11 +999,49 @@ def customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("dedup_collapse_clusters")
+@_register(
+    "dedup_collapse_clusters",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') t FROM documents),
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) gs
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(gs) g FROM grams),
+    cand AS (SELECT x.doc_id a, y.doc_id b, count(*) inter
+             FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+             GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(gs) n FROM grams),
+    pairs AS (
+      SELECT a, b
+      FROM cand JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ),
+    comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+    assigned AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT keep, count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters
+    FROM (SELECT doc_id, cluster_id, doc_id = cluster_id AS keep FROM assigned) x
+    GROUP BY keep ORDER BY keep
+    """,
+)
 def dedup_collapse_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup: near-dup pairs -> connected components -> keeper
-    per cluster (rows-only: CC over hash-blocked pairs; pytest verifies
-    against a union-find oracle)."""
+    per cluster. The oracle recomputes the same thing declaratively:
+    exact-Jaccard pairs, transitive closure via recursive CTE, keeper =
+    min doc_id per component (pytest additionally verifies against a
+    union-find at sf0.001)."""
     from pdfmef_spark.operators import dedup
 
     d = _t(spark, sf_dir, "documents")

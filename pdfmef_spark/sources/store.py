@@ -27,6 +27,8 @@ TESTDATA_TABLES = (
 
 DEFAULT_CACHE = os.environ.get("PDFMEF_SPARK_CACHE", "/root/repo/.cache")
 N_BUCKETS = 32
+# bump when corpus.py content changes: stale cached corpora regenerate
+CORPUS_VERSION = 2
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -60,7 +62,7 @@ def materialize_corpus(
     """Generate + write pages and golden tables for `sf` (idempotent)."""
     out = corpus_dir(sf, cache_dir)
     marker = f"{out}/_COMPLETE"
-    if os.path.exists(marker) and not force:
+    if _marker_current(marker) and not force:
         return out
     n = corpus.n_pages_for_sf(sf)
     pages = corpus.pages_df(spark, n).withColumn(
@@ -76,8 +78,15 @@ def materialize_corpus(
     corpus.golden_entities_df(spark).write.mode("overwrite").parquet(f"{out}/golden_entities")
     corpus.golden_links_df(spark).write.mode("overwrite").parquet(f"{out}/golden_links")
     with open(marker, "w") as fh:
-        fh.write(f"n={n}\n")
+        fh.write(f"v={CORPUS_VERSION} n={n}\n")
     return out
+
+
+def _marker_current(marker: str) -> bool:
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as fh:
+        return fh.readline().strip().startswith(f"v={CORPUS_VERSION} ")
 
 
 def read_pages(spark: SparkSession, sf: float, cache_dir: str = DEFAULT_CACHE) -> DataFrame:

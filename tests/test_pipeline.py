@@ -36,16 +36,19 @@ def test_graph_sanity(spark, run):
         + edges.join(ids, edges.dst == ids.id, "left_anti").count()
     )
     assert dangling == 0
-    # hub entity exists and is heavily mentioned
-    hub = nodes.filter(F.col("canonical") == "Global Web Consortium").collect()
+    # hub entity exists (canonical = whichever alias is most frequent at
+    # this sf) and is heavily mentioned
+    aliases = ["Global Web Consortium", "Global Web", "The Global Web Consortium"]
+    hub = nodes.filter(F.col("canonical").isin(aliases)).collect()
     assert len(hub) == 1 and hub[0].n_mentions >= 30
 
 
 def test_alias_cluster_merged(spark, run):
-    """'Global Web' and 'The Global Web Consortium' must not be separate nodes."""
+    """The three hub aliases must collapse into ONE node (whichever alias
+    wins the canonical vote, the other two must not appear)."""
     nodes = run.df("nodes")
-    for alias in ["Global Web", "The Global Web Consortium"]:
-        assert nodes.filter(F.col("canonical") == alias).count() == 0
+    aliases = ["Global Web Consortium", "Global Web", "The Global Web Consortium"]
+    assert nodes.filter(F.col("canonical").isin(aliases)).count() == 1
 
 
 def test_resume_skips_completed_stages(spark, smoke_pages, run):

@@ -78,3 +78,36 @@ def test_extraction_deterministic_across_runs(spark, smoke_pages):
     a = extract.text_sha256(extract.extract_pages(smoke_pages))
     b = extract.text_sha256(extract.extract_pages(smoke_pages.repartition(17)))
     assert a.join(b, ["url", "sha256_text"], "inner").count() == smoke_pages.count()
+
+
+def test_xxh64_matches_spark(spark):
+    """Pure-python XXH64 is bit-compatible with Spark's xxhash64 (the
+    bootstrap materializer's bucket column depends on it)."""
+    from pdfmef_spark.functions.xxh64 import xxh64_signed
+
+    vals = ["", "a", "hello world", "x" * 31, "y" * 32, "z" * 100,
+            "héllo wörld 漢字🌐", "https://site0001.example.org/articles/00000042"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    )
+    for r in df.collect():
+        assert xxh64_signed(r.s.encode("utf-8")) == r.h
+
+
+def test_bootstrap_matches_spark_materializer(spark, tmp_path):
+    """The Spark-free (pyarrow) corpus materializer and the distributed
+    Spark one produce identical rows — whichever side the driver runs
+    first, both engines read the same corpus."""
+    from pdfmef_spark.sources import bootstrap, store
+
+    sf = 0.0001  # 50 pages
+    a = bootstrap.ensure_corpus(sf, cache_dir=str(tmp_path / "py"))
+    b = store.materialize_corpus(spark, sf, cache_dir=str(tmp_path / "spark"))
+    for tbl in ("pages", "golden_triples", "golden_surfaces"):
+        x = spark.read.parquet(f"{a}/{tbl}")
+        y = spark.read.parquet(f"{b}/{tbl}")
+        assert sorted(x.columns) == sorted(y.columns), tbl
+        cols = sorted(x.columns)
+        assert x.count() == y.count(), tbl
+        assert x.select(cols).exceptAll(y.select(cols)).count() == 0, tbl
+        assert y.select(cols).exceptAll(x.select(cols)).count() == 0, tbl

@@ -32,7 +32,7 @@ def test_relations_never_raise(s):
     out = extract_relations(s)
     for (subj, pred, obj, *_rest) in out:
         assert pred in {
-            "hasTitle", "hasAuthor", "hasKeyword", "worksFor",
+            "hasTitle", "hasAuthor", "hasAbstract", "hasKeyword", "worksFor",
             "locatedIn", "foundedBy", "affiliatedWith",
         }
 
