@@ -6,9 +6,13 @@ baseline + IVF-style (coarse-quantizer bucketed) scale path.
 Brute force: query broadcast against all vectors, JVM-side dot products,
 window top-k — exact, O(N) per query; right when queries are few.
 
-IVF path: k-means-lite coarse centroids (sampled, trained driver-side
-once, broadcast), every vector assigned to nearest centroid (one pass),
-queries probe only the nprobe nearest centroid buckets — the standard
+IVF path: k-means-lite coarse centroids (seeded distributed sample,
+trained driver-side once), every vector assigned to its nearest
+centroid by ONE vectorized Arrow batch (numpy argmax against the
+centroid matrix shipped in the UDF closure — a real IVF needs ~sqrt(N)
+centroids, i.e. thousands at 100 TB, which must be a (batch x dim) @
+(dim x k) matmul, never an unrolled Catalyst expression chain), queries
+probe only the nprobe nearest centroid buckets — the standard
 inverted-file ANN layout re-expressed relationally: assignment is a
 groupBy-free map, probing is a semi-join on centroid id.
 """
@@ -16,6 +20,7 @@ groupBy-free map, probing is a semi-join on centroid id.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from pdfmef_spark.operators.dedup import cosine_sim
@@ -44,10 +49,15 @@ def train_centroids(
 ) -> np.ndarray:
     """k-means on a driver-side sample (Lloyd's, fixed iters, seeded).
 
-    At 100 TB the sample is still a few thousand rows — the training
-    cost is O(sample * k * iters) on the driver; assignment of the full
-    table stays distributed."""
-    rows = emb.select(vec_col).limit(sample).collect()
+    The sample is a seeded `df.sample()` over the whole table — a
+    `.limit()` would take whatever rows the first files yield, biasing
+    the quantizer toward one shard's distribution. At 100 TB the sample
+    is still a few thousand rows — training cost is O(sample * k *
+    iters) on the driver; assignment of the full table stays
+    distributed."""
+    n = emb.count()
+    frac = min(1.0, (sample * 1.2) / max(n, 1))
+    rows = emb.select(vec_col).sample(fraction=frac, seed=seed).limit(sample).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -63,22 +73,20 @@ def train_centroids(
     return cents
 
 
-def _nearest_centroid_col(vec_col, cents: np.ndarray):
-    """Column: argmax centroid id by dot product (JVM-side expressions)."""
-    best_id = F.lit(0)
-    best_dot = None
-    for cid, c in enumerate(cents):
-        dot = F.aggregate(
-            F.zip_with(vec_col, F.array(*[F.lit(float(v)) for v in c]), lambda a, b: a * b),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-        if best_dot is None:
-            best_dot = dot
-        else:
-            best_id = F.when(dot > best_dot, F.lit(cid)).otherwise(best_id)
-            best_dot = F.greatest(dot, best_dot)
-    return best_id
+def nearest_centroid_udf(cents: np.ndarray):
+    """Vectorized Arrow-batch centroid assignment: one numpy matmul +
+    argmax per batch, centroids shipped once per executor in the UDF
+    closure (the broadcast-model scoring shape). Unlike an unrolled
+    per-centroid expression chain, this stays O(batch * k * dim) BLAS
+    work and compiles identically at k=16 or k=65536."""
+    c_t = np.ascontiguousarray(cents.astype(np.float64).T)  # (dim, k)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)  # (batch, dim)
+        return pd.Series(np.argmax(x @ c_t, axis=1).astype(np.int32))
+
+    return assign
 
 
 def ivf_topk(
@@ -92,7 +100,7 @@ def ivf_topk(
     for recall@k >= 0.9 with nprobe=4/16 buckets.
     """
     cents = train_centroids(emb, n_centroids, vec_col)
-    tagged = emb.withColumn("cent", _nearest_centroid_col(F.col(vec_col), cents))
+    tagged = emb.withColumn("cent", nearest_centroid_udf(cents)(F.col(vec_col)))
 
     # per-query probe list: nprobe nearest centroids (computed driver-side
     # for the broadcast-small query set)

@@ -656,10 +656,34 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(emb, queries, k=10).orderBy("q_id", "rank")
 
 
-@_register("embedding_ann_ivf")
+@_register(
+    "embedding_ann_ivf",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], q.q_vec)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.q_vec, q.q_vec))) AS cos
+      FROM embeddings e CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, round(cos, 6) AS cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    ORDER BY q_id, rank
+    """,
+)
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN top-10 (rows-only: approximate by design; pytest
-    asserts exhaustive-probe == brute force and partial-probe recall)."""
+    """IVF ANN at exhaustive probe (nprobe = n_centroids): the bucketed
+    union must equal exact brute-force top-k — a hash-oracle proof that
+    the inverted-file layout (train -> assign -> probe semi-join) loses
+    nothing structurally. Partial-probe recall (the approximate path,
+    recall < 1 by design on isotropic vectors) is pytest-gated in
+    tests/test_similarity.py, including n_centroids=256 at sf0.1."""
     from pdfmef_spark.operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -668,7 +692,7 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return similarity.ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=8).orderBy(
+    return similarity.ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=16).orderBy(
         "q_id", "rank"
     )
 

@@ -63,3 +63,26 @@ def test_ivf_recall_at_10(spark, emb, queries):
     # the worst case for IVF: probing half the cells must still recover the
     # (always-probed) self-cell neighbors plus ~nprobe/n of the rest.
     assert sum(recalls) / len(recalls) >= 0.75, recalls
+
+
+def test_ivf_256_centroids_scales(spark):
+    """The rewritten (pandas_udf argmax) centroid assignment must work at
+    a realistic centroid count — the old unrolled expression chain could
+    not compile past a few dozen. Exhaustive probe == brute force proves
+    the bucketed union is lossless at 256 cells; plan stays one Arrow
+    batch, not a kilometer-long Project."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    queries = emb.sparkSession.createDataFrame(
+        [(r.vec_id, r.embedding) for r in emb.limit(3).collect()],
+        "q_id long, q_vec array<double>",
+    )
+    bf = similarity.brute_force_topk(emb, queries, k=10)
+    ivf = similarity.ivf_topk(emb, queries, k=10, n_centroids=256, nprobe=256)
+    key = lambda rows: sorted((r.q_id, r.vec_id, r.rank) for r in rows)  # noqa: E731
+    assert key(ivf.collect()) == key(bf.collect())
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert len(plan) < 200_000  # unrolled 256x64 literals would be megabytes
