@@ -10,7 +10,7 @@ cheaply, filter before the expensive stages.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
 _LANG_MARKERS: dict[str, list[str]] = {
@@ -100,6 +100,51 @@ def rolling_fingerprint(text_col: Column, window: int = 8) -> Column:
         F.sequence(F.lit(1), n), lambda i: F.concat_ws(" ", F.slice(toks, i, window))
     )
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+# stoplist for keyphrase candidates: the marker stopwords plus generic
+# filler — shared with the SQL oracle via keyphrase_stoplist()
+_KEYPHRASE_STOP = sorted(
+    {w for ws in _LANG_MARKERS.values() for w in ws}
+    | {"about", "shows", "study", "page", "results", "report", "data",
+       "large", "small", "into", "over", "under", "between", "their",
+       "there", "these", "those", "will", "would", "could", "should"}
+)
+
+
+def keyphrase_stoplist() -> list[str]:
+    return list(_KEYPHRASE_STOP)
+
+
+def keyphrases_topk(
+    docs: DataFrame, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Top-k keyphrases per document (reference analog: per-document
+    keyphrase extraction with KEYPHRASE_TOP_N=5, csxextract/config.py:25-28;
+    the hulth/kea/ceke ranking models become a deterministic tf x length
+    score — the operator SHAPE is the point: candidate generation,
+    per-doc scoring, bounded top-k).
+
+    Plan: explode tokens -> groupBy(doc, token) partial+final count ->
+    per-doc window top-k. Shuffles on (doc, token) — fine at any scale
+    (map-side combine absorbs repeats; the window partitions by doc so
+    parallelism = document count)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok")
+    )
+    cand = toks.filter(
+        (F.length("tok") >= 4)
+        & F.col("tok").rlike("^[a-z]+$")
+        & ~F.col("tok").isin(*_KEYPHRASE_STOP)
+    )
+    counts = cand.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    scored = counts.withColumn("score", (F.col("tf") * F.length("tok")).cast("bigint"))
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, F.col("tok").alias("phrase"), "tf", "score", "rank")
+    )
 
 
 def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -779,6 +779,66 @@ def doc_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _keyphrase_sql() -> str:
+    from pdfmef_spark.operators.textstats import keyphrase_stoplist
+
+    stop = ", ".join(f"'{w}'" for w in keyphrase_stoplist())
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    cand AS (
+      SELECT doc_id, tok FROM toks
+      WHERE len(tok) >= 4 AND regexp_full_match(tok, '[a-z]+')
+        AND tok NOT IN ({stop})
+    ),
+    counts AS (SELECT doc_id, tok, count(*) AS tf FROM cand GROUP BY doc_id, tok),
+    ranked AS (
+      SELECT doc_id, tok AS phrase, tf,
+             CAST(tf * len(tok) AS BIGINT) AS score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf * len(tok) DESC, tok) AS rank
+      FROM counts
+    )
+    SELECT doc_id, phrase, tf, score, rank FROM ranked WHERE rank <= 5
+    ORDER BY doc_id, rank
+    """
+
+
+@_register("doc_keyphrases", oracle=_keyphrase_sql())
+def doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 keyphrases per document (reference: KEYPHRASE_TOP_N=5,
+    csxextract/config.py:25-28) — deterministic tf x length ranking,
+    full oracle (stoplist shared with the SQL via generation)."""
+    from pdfmef_spark.operators import textstats
+
+    d = _t(spark, sf_dir, "documents")
+    return textstats.keyphrases_topk(d, k=5).orderBy("doc_id", "rank")
+
+
+def _classifier_oracle() -> str:
+    from pdfmef_spark.operators.classifier import gate_oracle_sql
+
+    return gate_oracle_sql()
+
+
+@_register("doc_classifier_gate", oracle=_classifier_oracle())
+def doc_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-model filter gate (reference: AcademicPaperFilter,
+    csxextract/filters.py:9-48): logistic model over closed-form text
+    features, scored JVM-side; the pandas_udf broadcast-model path is
+    pinned equal in pytest. Oracle inlines the trained weights."""
+    from pdfmef_spark.operators import classifier
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        classifier.classifier_gate(d)
+        .select("doc_id", F.round("clf_prob", 4).alias("clf_prob"), "clf_pass")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # kg graph stages (rows-only; golden-gated in pytest via test_pipeline /
 # test_linking — cluster P/R >= 0.95)

@@ -87,3 +87,34 @@ def test_resize_and_frame_plans(spark):
     assert all(max(r.target_width, r.target_height) <= 100 for r in rp)
     fp = multimodal.frame_sample_plan(media, every_n=10)
     assert fp.count() == 8 * 3  # 30 frames sampled every 10 -> 0,10,20
+
+
+def test_keyphrases_topk(spark):
+    """Top-5 keyphrases per doc: deterministic ranking, candidates
+    filtered (length/charset/stoplist), at most k per doc, scores
+    consistent with a python recount."""
+    import re
+    from pdfmef_spark.operators.textstats import keyphrase_stoplist, keyphrases_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = keyphrases_topk(docs, k=5).collect()
+    assert out
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    stop = set(keyphrase_stoplist())
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, rows in per_doc.items():
+        assert len(rows) <= 5
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        toks = re.split(r"\s+", texts[doc_id].strip().lower())
+        counts = {}
+        for t in toks:
+            if len(t) >= 4 and re.fullmatch(r"[a-z]+", t) and t not in stop:
+                counts[t] = counts.get(t, 0) + 1
+        expect = sorted(counts, key=lambda t: (-counts[t] * len(t), t))[:5]
+        got = [r.phrase for r in sorted(rows, key=lambda r: r.rank)]
+        assert got == expect
+        for r in rows:
+            assert r.tf == counts[r.phrase] and r.score == r.tf * len(r.phrase)
