@@ -62,7 +62,10 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-DRIVER_CUTOFF = 2_000_000
+# Driver fast-path bound: 100k string-pair edges is a few MB of driver
+# heap — comfortably safe. Callers with known-small graphs can opt up;
+# above it only the distributed iterative-join path makes sense anyway.
+DRIVER_CUTOFF = 100_000
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
@@ -99,7 +102,9 @@ def connected_components(links: DataFrame, driver_cutoff: int = DRIVER_CUTOFF) -
     Both paths produce identical assignments (tested either way).
     """
     edges = links.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    if driver_cutoff and edges.count() <= driver_cutoff:
+    # size gate via limit(cutoff+1).count(): short-circuits instead of
+    # counting the whole edge set when the graph is large
+    if driver_cutoff and edges.limit(driver_cutoff + 1).count() <= driver_cutoff:
         assign = _driver_union_find(edges)
     else:
         edges = edges.localCheckpoint()

@@ -150,31 +150,48 @@ def simhash64(text_col):
     """64-bit SimHash from whitespace tokens, fully JVM-side.
 
     Per token: h = xxhash64(token); each of 64 bits votes +1/-1;
-    signature bit i = sign of the vote sum. Implemented with
-    aggregate() over the token array per bit-nibble to stay in codegen.
+    signature bit i = sign of the vote sum. Since vote_i = 2*count_i - T
+    (count_i = tokens with bit i set, T = token count), the bit is
+    simply 2*count_i > T — so only COUNTS are accumulated, four of them
+    packed per long (16-bit fields, no carries while T < 65536 distinct
+    tokens, far beyond any real document): 16 aggregate() traversals
+    instead of 64, each with cheaper mask-add merges. Semantically
+    identical to the naive per-bit voting (pinned by the pure-python
+    oracle test in tests/test_dedup.py).
     """
     toks = F.array_distinct(F.split(F.lower(text_col), r"\s+"))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # bit i vote: sum over tokens of +-1; sig bit = vote > 0. Bit tests use
-    # bitwiseAND masks (Column methods work on lambda variables where
-    # F.shiftright's py4j path does not); bit 63 is the sign bit.
-    def _merge_for(i: int):
-        # exactly-two-arg lambda: PySpark binds a lambda variable to every
-        # parameter of a higher-order-function callback, defaults included
-        if i == 63:
-            return lambda acc, h: acc + F.when(h < 0, 1).otherwise(-1)
-        mask = 1 << i
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask)) != 0, 1
-        ).otherwise(-1)
+    ntok = F.size(toks).cast("long")
 
-    bits = []
-    for i in range(64):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _merge_for(i))
-        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    # bit tests use bitwiseAND masks (Column methods work on lambda
+    # variables where F.shiftright's py4j path does not); bit 63 is the
+    # sign bit, tested as h < 0
+    def _merge_for(j: int):
+        def merge(acc, h):
+            out = acc
+            for f_idx in range(4):
+                b = 4 * j + f_idx
+                add = F.lit(1 << (16 * f_idx)).cast("long")
+                if b == 63:
+                    out = out + F.when(h < 0, add).otherwise(F.lit(0).cast("long"))
+                else:
+                    out = out + F.when(
+                        h.bitwiseAND(F.lit(1 << b)) != 0, add
+                    ).otherwise(F.lit(0).cast("long"))
+            return out
+
+        return merge
+
     sig = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        sig = sig.bitwiseOR(F.shiftleft(b, i))
+    for j in range(16):
+        packed = F.aggregate(hashes, F.lit(0).cast("long"), _merge_for(j))
+        for f_idx in range(4):
+            b = 4 * j + f_idx
+            cnt = F.shiftrightunsigned(packed, 16 * f_idx).bitwiseAND(F.lit(0xFFFF))
+            bit = F.when(cnt * 2 > ntok, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            sig = sig.bitwiseOR(F.shiftleft(bit, b))
     return sig
 
 

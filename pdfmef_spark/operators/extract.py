@@ -58,45 +58,70 @@ def extract_html_bytes(raw: bytes) -> tuple[str, list[str], str | None, int]:
     return "\n".join(blocks), links, title, len(blocks)
 
 
-def extract_pages(pages: DataFrame) -> DataFrame:
+def extract_pages(
+    pages: DataFrame,
+    row_timeout: float | None = None,
+    extract_fn=extract_html_bytes,
+) -> DataFrame:
     """pages(url, html, ...) -> EXTRACTED(url, text, links, title, n_blocks, error).
 
     Column-pruned input (only url+html cross Arrow), batched execution,
     per-row error capture. At cluster scale this is a pure map stage:
     no shuffle, parallelism = input splits.
+
+    `row_timeout` (seconds) bounds each element's wall clock via a
+    killable worker process (functions/deadline.py) — the reference's
+    per-document subprocess timeout (pdfbox.py:24) re-expressed for the
+    Arrow batch world. A row that exceeds it yields error='Timeout'
+    instead of stalling the task. Opt-in: the default hot path runs
+    in-process with zero overhead.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            urls, texts, links_col, titles, nblocks, errs = [], [], [], [], [], []
-            for url, raw in zip(pdf["url"], pdf["html"]):  # noqa: B905
-                urls.append(url)
-                try:
-                    if raw is None:
-                        raise ValueError("null html")
-                    text, links, title, nb = extract_html_bytes(bytes(raw))
-                    texts.append(text)
-                    links_col.append(links)
-                    titles.append(title)
-                    nblocks.append(nb)
-                    errs.append(None)
-                except Exception as exc:  # error is data, never a task failure
-                    texts.append(None)
-                    links_col.append(None)
-                    titles.append(None)
-                    nblocks.append(None)
-                    errs.append(f"{type(exc).__name__}: {exc}")
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "text": texts,
-                    "links": links_col,
-                    "title": titles,
-                    "n_blocks": pd.array(nblocks, dtype="Int32"),
-                    "lang": pdf["lang"] if "lang" in pdf else None,
-                    "error": errs,
-                }
-            )
+        from pdfmef_spark.functions.deadline import DeadlineRunner
+
+        runner = DeadlineRunner(row_timeout) if row_timeout else None
+        try:
+            for pdf in batches:
+                urls, texts, links_col, titles, nblocks, errs = [], [], [], [], [], []
+                for url, raw in zip(pdf["url"], pdf["html"]):  # noqa: B905
+                    urls.append(url)
+                    try:
+                        if raw is None:
+                            raise ValueError("null html")
+                        if runner is not None:
+                            out, err = runner.run(extract_fn, bytes(raw))
+                            if err is not None:
+                                raise TimeoutError(err) if err == "Timeout" else ValueError(err)
+                            text, links, title, nb = out
+                        else:
+                            text, links, title, nb = extract_fn(bytes(raw))
+                        texts.append(text)
+                        links_col.append(links)
+                        titles.append(title)
+                        nblocks.append(nb)
+                        errs.append(None)
+                    except Exception as exc:  # error is data, never a task failure
+                        texts.append(None)
+                        links_col.append(None)
+                        titles.append(None)
+                        nblocks.append(None)
+                        msg = str(exc) if str(exc) == "Timeout" else f"{type(exc).__name__}: {exc}"
+                        errs.append(msg)
+                yield pd.DataFrame(
+                    {
+                        "url": urls,
+                        "text": texts,
+                        "links": links_col,
+                        "title": titles,
+                        "n_blocks": pd.array(nblocks, dtype="Int32"),
+                        "lang": pdf["lang"] if "lang" in pdf else None,
+                        "error": errs,
+                    }
+                )
+        finally:
+            if runner is not None:
+                runner.close()
 
     cols = ["url", "html"] + (["lang"] if "lang" in pages.columns else [])
     return pages.select(*cols).mapInPandas(run, schema=schemas.EXTRACTED)

@@ -68,13 +68,15 @@ def _write_stage(
     spark: SparkSession, out_dir: str, run_id: str, stage: str, df: DataFrame,
     error_col: str | None = None,
 ) -> DataFrame:
-    """Write stage output + manifest — ZERO extra passes over the data.
+    """Write stage output + manifest.
 
     Totals (rows, errors, content sha) ride the write job itself via
-    ``df.observe``; per-partition row counts come from the parquet file
-    footers (one output file per task). The reference recovers the same
-    information by re-parsing its result log (src/extractor/main.py:23-41)
-    — here it is observed once and stored as data.
+    ``df.observe`` (zero extra passes); per-partition row counts come
+    from a distributed count-by-output-file over the just-written
+    parquet (one output file per task) — portable to object stores.
+    The reference recovers the same information by re-parsing its
+    result log (src/extractor/main.py:23-41) — here it is observed once
+    and stored as data.
     """
     path = f"{out_dir}/{stage}"
     err_expr = (
@@ -94,18 +96,21 @@ def _write_stage(
     observed.write.mode("overwrite").parquet(path)
     totals = obs.get
 
-    # per-partition rows from parquet footers (driver-side metadata read;
-    # on object storage this is the same footer fetch the next scan does)
-    import glob as _glob
-
-    import pyarrow.parquet as pq
-
+    # per-partition rows via a distributed count grouped by output file —
+    # portable to any Hadoop filesystem (s3a/gs/abfs), no local-FS glob,
+    # no driver-side footer loop; the freshly written files are hot in
+    # cache so this count-only scan is cheap
+    per_part = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
     records = []
-    for f in sorted(_glob.glob(f"{path}/part-*.parquet")):
-        pid = int(os.path.basename(f).split("-")[1])
+    for r in sorted(per_part, key=lambda r: r.f):
+        pid = int(os.path.basename(r.f).split("-")[1])
         records.append(
-            (run_id, stage, pid, "partition_done", None,
-             pq.ParquetFile(f).metadata.num_rows, None, None)
+            (run_id, stage, pid, "partition_done", None, r.rows, None, None)
         )
     records.append(
         (run_id, stage, -1, "complete", None, int(totals["rows_out"]),

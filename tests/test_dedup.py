@@ -67,6 +67,34 @@ def test_simhash_pairs_hamming_correct(spark, docs):
         assert ham == r.hamming <= 6
 
 
+def test_simhash64_matches_python_oracle(spark, docs):
+    """The packed-counter JVM SimHash equals a naive pure-python
+    reimplementation (xxh64 parity + per-bit voting) — pins both the
+    bit-packing arithmetic and the hash."""
+    import re
+
+    from pdfmef_spark.functions.xxh64 import xxh64_signed
+
+    def py_simhash(text: str) -> int:
+        toks = list(dict.fromkeys(re.split(r"\s+", text.lower())))
+        votes = [0] * 64
+        for t in toks:
+            h = xxh64_signed(t.encode("utf-8")) & 0xFFFFFFFFFFFFFFFF
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        sig = 0
+        for i, v in enumerate(votes):
+            if v > 0:
+                sig |= 1 << i
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    rows = docs.limit(40).select(
+        "doc_id", "text", dedup.simhash64(F.col("text")).alias("sig")
+    ).collect()
+    for r in rows:
+        assert r.sig == py_simhash(r.text), r.doc_id
+
+
 def test_embedding_dup_pairs(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     # plant exact duplicates to guarantee recall targets

@@ -61,3 +61,59 @@ def test_malformed_rows_in_spark(spark):
     trips = triples_op.extract_triples(ext)
     preds = {r.pred for r in trips.collect()}
     assert "worksFor" in preds or "hasTitle" in preds
+
+
+def test_row_timeout_yields_error_row(spark):
+    """SURVEY §4 commitment: a per-element deadline inside the Arrow
+    stage — one hostile row becomes error='Timeout', the batch finishes,
+    the task never stalls (reference analog: 20-30 s subprocess
+    timeouts, pdfbox.py:24)."""
+    import time
+
+    from pdfmef_spark.operators import extract
+
+    def sleepy_extract(raw: bytes):
+        # stand-in for a pathological row (catastrophic backtracking
+        # etc.): a C-level stall no signal can interrupt — only a kill.
+        # Nested def: cloudpickle ships it by value to the workers.
+        import time as _t
+
+        if b"HANG" in raw:
+            _t.sleep(600)
+        from pdfmef_spark.operators.extract import extract_html_bytes
+
+        return extract_html_bytes(raw)
+
+    rows = [
+        ("ok1", b"<html><body><p>fine page.</p></body></html>", "en"),
+        ("bad", b"<p>HANG</p>", "en"),
+        ("ok2", b"<html><body><p>also fine.</p></body></html>", "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, lang string").coalesce(1)
+    t0 = time.time()
+    got = {
+        r.url: r
+        for r in extract.extract_pages(
+            pages, row_timeout=3, extract_fn=sleepy_extract
+        ).collect()
+    }
+    assert time.time() - t0 < 60
+    assert got["bad"].error == "Timeout" and got["bad"].text is None
+    assert got["ok1"].error is None and got["ok1"].text == "fine page."
+    assert got["ok2"].error is None and got["ok2"].text == "also fine."
+
+
+def test_row_timeout_passthrough_matches_default(spark):
+    """With a generous deadline the guarded path is byte-identical to the
+    in-process path (including genuinely nasty-but-fast inputs)."""
+    from pdfmef_spark.operators import extract
+
+    rows = [
+        ("u1", ("<p>" * 3000 + "deep " * 50).encode(), "en"),
+        ("u2", b"<a href='x" + b"y" * 5000 + b"'>t</a>", "en"),
+        ("u3", b"<script>" * 500 + b"<p>tail</p>", "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, lang string")
+    a = sorted(map(tuple, extract.extract_pages(pages).collect()))
+    b = sorted(map(tuple, extract.extract_pages(pages, row_timeout=30).collect()))
+    assert a == b
