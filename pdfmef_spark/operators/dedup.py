@@ -146,44 +146,49 @@ def minhash_dedup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(text_col):
-    """64-bit SimHash from whitespace tokens, fully JVM-side.
+SIMHASH_BITS = 60  # 15 hex chars of md5 -> fits a signed BIGINT in every engine
 
-    Per token: h = xxhash64(token); each of 64 bits votes +1/-1;
+
+def simhash60(text_col):
+    """60-bit SimHash from whitespace tokens, fully JVM-side.
+
+    Per token: h = 60-bit int from the first 15 hex chars of md5(token)
+    — md5 (not xxhash64) so DuckDB/Python oracles reproduce the exact
+    signature in pure SQL (`simhash_dedup` oracle in plans/queries.py;
+    xxhash64 has no DuckDB counterpart). Each of 60 bits votes +1/-1;
     signature bit i = sign of the vote sum. Since vote_i = 2*count_i - T
     (count_i = tokens with bit i set, T = token count), the bit is
     simply 2*count_i > T — so only COUNTS are accumulated, four of them
     packed per long (16-bit fields, no carries while T < 65536 distinct
-    tokens, far beyond any real document): 16 aggregate() traversals
-    instead of 64, each with cheaper mask-add merges. Semantically
+    tokens, far beyond any real document): 15 aggregate() traversals
+    instead of 60, each with cheaper mask-add merges. Semantically
     identical to the naive per-bit voting (pinned by the pure-python
     oracle test in tests/test_dedup.py).
     """
     toks = F.array_distinct(F.split(F.lower(text_col), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
     ntok = F.size(toks).cast("long")
 
     # bit tests use bitwiseAND masks (Column methods work on lambda
-    # variables where F.shiftright's py4j path does not); bit 63 is the
-    # sign bit, tested as h < 0
+    # variables where F.shiftright's py4j path does not); h < 2^60 so
+    # every mask fits a positive long
     def _merge_for(j: int):
         def merge(acc, h):
             out = acc
             for f_idx in range(4):
                 b = 4 * j + f_idx
                 add = F.lit(1 << (16 * f_idx)).cast("long")
-                if b == 63:
-                    out = out + F.when(h < 0, add).otherwise(F.lit(0).cast("long"))
-                else:
-                    out = out + F.when(
-                        h.bitwiseAND(F.lit(1 << b)) != 0, add
-                    ).otherwise(F.lit(0).cast("long"))
+                out = out + F.when(
+                    h.bitwiseAND(F.lit(1 << b)) != 0, add
+                ).otherwise(F.lit(0).cast("long"))
             return out
 
         return merge
 
     sig = F.lit(0).cast("long")
-    for j in range(16):
+    for j in range(SIMHASH_BITS // 4):
         packed = F.aggregate(hashes, F.lit(0).cast("long"), _merge_for(j))
         for f_idx in range(4):
             b = 4 * j + f_idx
@@ -201,14 +206,14 @@ def simhash_dedup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
-    Blocking: split the 64-bit signature into 4 x 16-bit chunks; any
+    Blocking: split the 60-bit signature into 4 x 15-bit chunks; any
     pair within hamming<=3 shares at least one exact chunk (pigeonhole).
     """
-    base = docs.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    base = docs.select(F.col(id_col).alias("id"), simhash60(F.col(text_col)).alias("sig"))
     chunks = base.select(
         "id", "sig",
         F.posexplode(
-            F.array(*[F.shiftright("sig", 16 * c).bitwiseAND(F.lit(0xFFFF)) for c in range(4)])
+            F.array(*[F.shiftright("sig", 15 * c).bitwiseAND(F.lit(0x7FFF)) for c in range(4)])
         ).alias("chunk", "cv"),
     )
     w = W.partitionBy("chunk", "cv")

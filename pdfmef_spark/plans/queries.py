@@ -611,10 +611,50 @@ def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
-@_register("simhash_dedup")
+@_register(
+    "simhash_dedup",
+    oracle=r"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(split(substr(md5(tok), 1, 15), ''),
+                              c -> strpos('0123456789abcdef', c) - 1),
+               (a, b) -> a * 16 + b) AS hv
+      FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b.range AS bit,
+             sum(((hv >> CAST(b.range AS INT)) & 1)::INT) AS cnt,
+             count(*) AS t
+      FROM h CROSS JOIN range(60) b
+      GROUP BY doc_id, b.range
+    ),
+    sigs AS (
+      SELECT doc_id,
+             sum(CASE WHEN 2 * cnt > t THEN (1::BIGINT << CAST(bit AS INT))
+                      ELSE 0 END)::BIGINT AS sig
+      FROM bits GROUP BY doc_id
+    )
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           bit_count(xor(x.sig, y.sig)) AS hamming
+    FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.sig, y.sig)) <= 3
+    ORDER BY a, b
+    """,
+)
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, hamming <= 3 (rows-only: xxhash64 signatures
-    have no DuckDB counterpart; pytest verifies hamming arithmetic)."""
+    """SimHash near-dup pairs, hamming <= 3.
+
+    Oracle: the md5-prefix token hash makes the 60-bit signature exactly
+    reproducible in DuckDB SQL; 4x15-bit pigeonhole blocking is exhaustive
+    for hamming<=3, so the Spark pair set equals the brute-force all-pairs
+    oracle (as long as no 15-bit chunk bucket exceeds the 256 cap — true on
+    this corpus; pytest separately pins the signature arithmetic)."""
     from pdfmef_spark.operators import dedup
 
     return dedup.simhash_dedup_pairs(

@@ -59,37 +59,37 @@ def test_simhash_pairs_hamming_correct(spark, docs):
     sigs = {
         r.id: r.sig
         for r in docs.select(
-            F.col("doc_id").alias("id"), dedup.simhash64(F.col("text")).alias("sig")
+            F.col("doc_id").alias("id"), dedup.simhash60(F.col("text")).alias("sig")
         ).collect()
     }
     for r in got:
-        ham = bin((sigs[r.a] ^ sigs[r.b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+        ham = bin(sigs[r.a] ^ sigs[r.b]).count("1")
         assert ham == r.hamming <= 6
 
 
-def test_simhash64_matches_python_oracle(spark, docs):
+def test_simhash60_matches_python_oracle(spark, docs):
     """The packed-counter JVM SimHash equals a naive pure-python
-    reimplementation (xxh64 parity + per-bit voting) — pins both the
-    bit-packing arithmetic and the hash."""
+    reimplementation (md5-prefix hash + per-bit voting) — pins both the
+    bit-packing arithmetic and the hash. The same md5 construction backs
+    the DuckDB simhash_dedup oracle."""
+    import hashlib
     import re
-
-    from pdfmef_spark.functions.xxh64 import xxh64_signed
 
     def py_simhash(text: str) -> int:
         toks = list(dict.fromkeys(re.split(r"\s+", text.lower())))
-        votes = [0] * 64
+        votes = [0] * dedup.SIMHASH_BITS
         for t in toks:
-            h = xxh64_signed(t.encode("utf-8")) & 0xFFFFFFFFFFFFFFFF
-            for i in range(64):
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+            for i in range(dedup.SIMHASH_BITS):
                 votes[i] += 1 if (h >> i) & 1 else -1
         sig = 0
         for i, v in enumerate(votes):
             if v > 0:
                 sig |= 1 << i
-        return sig - (1 << 64) if sig >= (1 << 63) else sig
+        return sig
 
     rows = docs.limit(40).select(
-        "doc_id", "text", dedup.simhash64(F.col("text")).alias("sig")
+        "doc_id", "text", dedup.simhash60(F.col("text")).alias("sig")
     ).collect()
     for r in rows:
         assert r.sig == py_simhash(r.text), r.doc_id
