@@ -78,6 +78,17 @@ def main() -> None:
         "cpus": cpus,
         "kg_stages": {k: v.seconds for k, v in run.results.items()},
     }
+    # vocabulary-growth linking stress (VERDICT r1 #9): distinct-surface
+    # count grows with n (unlike the fixed-pool corpus); near-linear
+    # time_ratio (vs growth**2 for an unbucketed path) evidences that the
+    # LSH/token-block caps keep candidate generation bucketed under growth.
+    if os.environ.get("SPARK_GRAFT_SKIP_STRESS") != "1":
+        from pdfmef_spark.plans import stress
+
+        out["linking_vocab_stress"] = stress.linking_scaling(
+            spark, n_small=10_000, growth=4
+        )
+
     # attach the latest scaling evidence if tools/scaling_run.py has run
     scal = "/root/repo/.cache/scaling_result.json"
     if os.path.exists(scal):
