@@ -273,7 +273,8 @@ def _page_content(i: int, n: int) -> dict:
         for _ in range(rng.randint(2, 4)):
             sents = [_foreign_sentence(rng, lang) for _ in range(rng.randint(1, 3))]
             blocks.append({"text": " ".join(sents), "triples": [], "anchors": []})
-        return {"lang": lang, "title": title, "blocks": blocks, "used": []}
+        return {"lang": lang, "title": title, "blocks": blocks, "used": [],
+                "algorithms": []}
 
     # byline -> hasAuthor
     authors = rng.sample(PERSONS, rng.randint(1, 2))
@@ -335,6 +336,28 @@ def _page_content(i: int, n: int) -> dict:
             cursor += len(s)
         blocks.append({"text": " ".join(sents), "triples": trips, "anchors": anchors})
 
+    # algorithm section -> M9 analog truth (reference: AlgorithmsExtractor
+    # emits algoid/caption plus reference sentences elsewhere in the doc,
+    # csxextract/extractors/algorithms.py:17-46 + AlgoXmlGenerator.pl).
+    # Dedicated rng stream so planting does not shift existing draws.
+    algos: list[dict] = []
+    arng = random.Random(f"{SEED}-algo-{i}")
+    if arng.random() < 0.30:
+        for k in sorted(arng.sample([1, 2, 3], arng.randint(1, 2))):
+            verb = arng.choice(["merging", "splitting", "ranking", "pruning"])
+            topic = arng.choice(TERMS)["canonical"]
+            caption = f"A {verb} procedure for {topic}."
+            blocks.append({"text": f"Algorithm {k}: {caption}",
+                           "triples": [], "anchors": []})
+            n_refs = arng.randint(0, 2)
+            for _ in range(n_refs):
+                step = arng.choice(_TERMS)
+                blocks.append({
+                    "text": f"As shown in Algorithm {k}, the {step} step dominates.",
+                    "triples": [], "anchors": [],
+                })
+            algos.append({"algo_id": k, "caption": caption, "n_refs": n_refs})
+
     tags = rng.sample(TERMS, rng.randint(2, 4))
     tag_line = "Tags: " + ", ".join(t["canonical"] for t in tags)
     ttrips, off = [], len("Tags: ")
@@ -343,7 +366,8 @@ def _page_content(i: int, n: int) -> dict:
         off += len(t["canonical"]) + 2
         used.append((t["canonical"], t))
     blocks.append({"text": tag_line, "triples": ttrips, "anchors": []})
-    return {"lang": lang, "title": title, "blocks": blocks, "used": used}
+    return {"lang": lang, "title": title, "blocks": blocks, "used": used,
+            "algorithms": algos}
 
 
 def _render_html(i: int, n: int, content: dict, empty: bool, boiler_only: bool) -> str:
@@ -425,6 +449,9 @@ def gen_page(i: int, n: int) -> dict:
         "sha256_text": hashlib.sha256(text.encode("utf-8")).hexdigest(),
         "triples": triples,
         "used": [(surface, ent["entity_key"]) for surface, ent in used],
+        "algorithms": [] if (empty or boiler_only) else [
+            {"url": url, **a} for a in content["algorithms"]
+        ],
     }
 
 
@@ -517,6 +544,31 @@ def golden_surfaces_df(spark: SparkSession, n: int, parallelism: int | None = No
             yield pd.DataFrame(out, columns=["url", "surface", "entity_key"])
 
     return spark.range(n, numPartitions=parallelism).mapInPandas(gen, schema=_GOLDEN_SURFACES_SCHEMA)
+
+
+_GOLDEN_ALGOS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("algo_id", T.IntegerType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("n_refs", T.IntegerType(), False),
+    ]
+)
+
+
+def golden_algorithms_df(spark: SparkSession, n: int, parallelism: int | None = None) -> DataFrame:
+    """(url, algo_id, caption, n_refs) for every planted algorithm block —
+    the M9-analog extraction truth."""
+    parallelism = parallelism or max(8, spark.sparkContext.defaultParallelism)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                out.extend(gen_page(int(i), n)["algorithms"])
+            yield pd.DataFrame(out, columns=[f.name for f in _GOLDEN_ALGOS_SCHEMA])
+
+    return spark.range(n, numPartitions=parallelism).mapInPandas(gen, schema=_GOLDEN_ALGOS_SCHEMA)
 
 
 def golden_entity_rows() -> list[tuple]:

@@ -133,6 +133,27 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "kg_algorithms",
+    oracle=f"""
+    SELECT url, algo_id, caption, n_refs
+    FROM read_parquet('{_KG}/golden_algorithms/*.parquet')
+    ORDER BY url, algo_id
+    """,
+)
+def kg_algorithms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algorithm blocks (M9 analog): definitions + reference-mention
+    counts vs the planted golden truth (exact equality on this corpus).
+    Single codegen projection + explode — no Python, no shuffle."""
+    from pdfmef_spark.operators import algorithms, extract
+    from pdfmef_spark.sources import store
+
+    pages = store.read_pages(spark, _sf(sf_dir))
+    return algorithms.extract_algorithms(extract.extract_pages(pages)).orderBy(
+        "url", "algo_id"
+    )
+
+
+@_register(
     "kg_top_entities",
     oracle=f"""
     WITH m AS (

@@ -65,6 +65,15 @@ _LINKS_SCHEMA = pa.schema(
     [("surface_a", pa.string()), ("surface_b", pa.string()), ("same_entity", pa.bool_())]
 )
 
+_ALGOS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("algo_id", pa.int32()),
+        ("caption", pa.string()),
+        ("n_refs", pa.int32()),
+    ]
+)
+
 
 def _write(out: str, name: str, table: pa.Table, row_group_size: int) -> None:
     d = f"{out}/{name}"
@@ -92,6 +101,7 @@ def ensure_corpus(sf: float, cache_dir: str | None = None) -> str:
     pages: dict[str, list] = {k: [] for k in _PAGES_SCHEMA.names}
     triples: list[dict] = []
     surfaces: list[dict] = []
+    algos: list[dict] = []
     for i in range(n):
         r = corpus.gen_page(i, n)
         for k in ("url", "warc_ts", "html", "text", "lang", "sha256_text"):
@@ -101,6 +111,7 @@ def ensure_corpus(sf: float, cache_dir: str | None = None) -> str:
         surfaces.extend(
             {"url": r["url"], "surface": s, "entity_key": k} for s, k in r["used"]
         )
+        algos.extend(r["algorithms"])
 
     rg = max(256, n // 32)  # row groups sized so a Spark scan parallelizes
     _write(out, "pages", pa.Table.from_pydict(pages, schema=_PAGES_SCHEMA), rg)
@@ -122,6 +133,7 @@ def ensure_corpus(sf: float, cache_dir: str | None = None) -> str:
         for row in corpus.golden_link_rows()
     ]
     _write(out, "golden_links", pa.Table.from_pylist(links, schema=_LINKS_SCHEMA), 4096)
+    _write(out, "golden_algorithms", pa.Table.from_pylist(algos, schema=_ALGOS_SCHEMA), 4096)
     with open(marker, "w") as fh:
         fh.write(f"v={store.CORPUS_VERSION} n={n}\n")
     return out

@@ -28,7 +28,7 @@ TESTDATA_TABLES = (
 DEFAULT_CACHE = os.environ.get("PDFMEF_SPARK_CACHE", "/root/repo/.cache")
 N_BUCKETS = 32
 # bump when corpus.py content changes: stale cached corpora regenerate
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -77,6 +77,7 @@ def materialize_corpus(
     corpus.golden_surfaces_df(spark, n).write.mode("overwrite").parquet(f"{out}/golden_surfaces")
     corpus.golden_entities_df(spark).write.mode("overwrite").parquet(f"{out}/golden_entities")
     corpus.golden_links_df(spark).write.mode("overwrite").parquet(f"{out}/golden_links")
+    corpus.golden_algorithms_df(spark, n).write.mode("overwrite").parquet(f"{out}/golden_algorithms")
     with open(marker, "w") as fh:
         fh.write(f"v={CORPUS_VERSION} n={n}\n")
     return out
