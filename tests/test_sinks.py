@@ -1,0 +1,84 @@
+"""Delete sink (K5 analog): correctness, partition pruning, idempotency."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pdfmef_spark import sinks
+
+N_BUCKETS = 8
+
+
+def _file_state(table_dir: str) -> dict:
+    out = {}
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def _make_table(spark, tmp_path) -> str:
+    table_dir = str(tmp_path / "docs")
+    df = spark.range(1000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        (F.col("id") * 7).alias("val"),
+    )
+    df.withColumn("bucket", sinks.bucket_of(F.col("doc_id"), N_BUCKETS)).write.partitionBy(
+        "bucket"
+    ).parquet(table_dir)
+    return table_dir
+
+
+def test_delete_by_key_partitioned(spark, tmp_path):
+    table_dir = _make_table(spark, tmp_path)
+    doomed = spark.createDataFrame(
+        [(f"doc-{i}",) for i in (3, 17, 256, 999)], "doc_id string"
+    )
+    before = _file_state(table_dir)
+    stats = sinks.delete_by_key(
+        spark, table_dir, "doc_id", doomed, n_buckets=N_BUCKETS
+    )
+    assert stats["rows_deleted"] == 4
+    assert stats["partitions_total"] == N_BUCKETS
+    assert 1 <= stats["partitions_rewritten"] <= 4  # only buckets holding keys
+
+    remaining = spark.read.parquet(table_dir)
+    assert remaining.count() == 996
+    assert remaining.filter(F.col("doc_id").isin("doc-3", "doc-999")).count() == 0
+    # survivors in rewritten buckets keep their values
+    assert remaining.filter(F.col("doc_id") == "doc-4").first().val == 28
+
+    # partition pruning: untouched bucket dirs are byte-identical
+    after = _file_state(table_dir)
+    doomed_buckets = {
+        r.b for r in doomed.select(sinks.bucket_of(F.col("doc_id"), N_BUCKETS).alias("b")).collect()
+    }
+    for path, mtime in before.items():
+        bucket_part = next((s for s in path.split(os.sep) if s.startswith("bucket=")), None)
+        if bucket_part and int(bucket_part.split("=")[1]) not in doomed_buckets:
+            assert after.get(path) == mtime, f"untouched partition rewritten: {path}"
+
+
+def test_delete_by_key_idempotent(spark, tmp_path):
+    table_dir = _make_table(spark, tmp_path)
+    doomed = spark.createDataFrame([("doc-42",)], "doc_id string")
+    s1 = sinks.delete_by_key(spark, table_dir, "doc_id", doomed, n_buckets=N_BUCKETS)
+    assert s1["rows_deleted"] == 1
+    state = _file_state(table_dir)
+    s2 = sinks.delete_by_key(spark, table_dir, "doc_id", doomed, n_buckets=N_BUCKETS)
+    assert s2["rows_deleted"] == 0 and s2["partitions_rewritten"] == 0
+    assert _file_state(table_dir) == state  # no-op run touches nothing
+
+
+def test_delete_by_key_unpartitioned(spark, tmp_path):
+    table_dir = str(tmp_path / "flat")
+    spark.range(100).select(
+        F.concat(F.lit("k"), F.col("id")).alias("doc_id"), F.col("id").alias("v")
+    ).write.parquet(table_dir)
+    doomed = spark.createDataFrame([("k5",), ("k50",), ("missing",)], "doc_id string")
+    stats = sinks.delete_by_key(spark, table_dir, "doc_id", doomed)
+    assert stats["rows_deleted"] == 2
+    assert spark.read.parquet(table_dir).count() == 98
