@@ -1292,3 +1292,107 @@ def user_value_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 relational widening: correlated-subquery decorrelation, RANGE-frame
+# windows, CUBE grouping sets
+# ---------------------------------------------------------------------------
+
+@_register(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+           round(o.o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    ORDER BY orderkey
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery, written AS a correlated subquery in
+    Spark SQL so Catalyst's decorrelation rewrites it to an aggregate +
+    join (the scale-safe plan) — no hand-decorrelation."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey AS orderkey, o.o_custkey AS custkey,
+               round(o.o_totalprice, 2) AS totalprice
+        FROM v_orders o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM v_orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        ORDER BY orderkey
+        """
+    )
+
+
+@_register(
+    "events_moving_avg",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, epoch(ts)::BIGINT AS es, value,
+             avg(value) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+             ) AS mavg
+      FROM events
+    )
+    SELECT user_id, event_id, round(mavg, 6) AS moving_avg_1h
+    FROM w ORDER BY user_id, event_id
+    """,
+)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per-user trailing 1-hour mean.
+
+    RANGE frames bound state by time, not row count — the shape that
+    survives bursty users at scale (a ROWS frame would need the full
+    burst in memory; RANGE lets Spark's window exec slide by value)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        e.select(
+            "user_id", "event_id",
+            F.round(F.avg("value").over(w), 6).alias("moving_avg_1h"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@_register(
+    "lineitem_cube",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY rflag, lstatus
+    """,
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations) with null canonicalization."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "sum_qty",
+            "n",
+        )
+        .orderBy("rflag", "lstatus")
+    )
