@@ -69,21 +69,25 @@ def _band_hashes(shingle_col):
     return sig, bands_of
 
 
-def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], cap: int) -> DataFrame:
-    """Generate (type, a, b) pairs within each bucket with ONE shuffle:
-    groupBy bucket -> sorted member list (capped) -> JVM-side pair
-    expansion (transform x slice) -> explode.
+def _bucket_pairs_capped(keyed: DataFrame) -> DataFrame:
+    """Generate (type, a, b) pairs across ALL blocking families with ONE
+    shuffle: groupBy (type, bkey) -> sorted member list (capped) ->
+    JVM-side pair expansion (transform x slice) -> explode.
 
-    Replaces the window-count + self-join formulation: one exchange
-    instead of three, and pair expansion happens bucket-locally inside
-    codegen — the shape that survives 10^12-row inputs (hot buckets are
-    dropped by the cap before any pair materializes).
+    Pair expansion happens bucket-locally inside codegen and hot buckets
+    are dropped by the cap before any pair materializes — the shape that
+    survives 10^12-row inputs. The member cap depends on the bkey family
+    prefix: LSH band buckets ("b:") cap at BUCKET_CAP, token / prefix
+    blocks ("t:"/"p:") at TOKEN_BLOCK_CAP.
     """
-    grouped = keyed.groupBy(*bucket_cols).agg(
+    grouped = keyed.groupBy("type", "bkey").agg(
         F.array_sort(F.collect_set("norm")).alias("members")
     )
+    cap = F.when(
+        F.col("bkey").startswith("b:"), F.lit(BUCKET_CAP)
+    ).otherwise(F.lit(TOKEN_BLOCK_CAP))
     small = grouped.filter(
-        (F.size("members").between(2, cap))
+        (F.size("members") >= 2) & (F.size("members") <= cap)
     )
     pairs = small.select(
         F.col("type"),
@@ -108,33 +112,47 @@ def _bucket_pairs(keyed: DataFrame, bucket_cols: list[str], cap: int) -> DataFra
 
 def candidate_pairs(keys: DataFrame) -> DataFrame:
     """(type, a, b) candidate pairs, a < b, from LSH bands + last-token
-    blocks + two-token-prefix blocks (each a single-shuffle bucket pass)."""
+    blocks + two-token-prefix blocks.
+
+    All three blocking families are tagged into ONE keyed relation
+    (type, bkey, norm) — "b:<band>:<hash>", "t:<token>", "p:<prefix>" —
+    built by a SINGLE projection (array concat + one explode), so the
+    whole candidate generation costs exactly three exchanges: the norms
+    distinct, the (type, bkey) groupBy, and the final pair distinct.
+    (The previous shape re-ran the norms-distinct subtree and a groupBy
+    per family: 7 exchanges.) Per-family caps ride on the bkey prefix.
+    """
     norms = keys.select("type", "norm").distinct()
-    sh = norms.withColumn("sh", char_shingles(F.col("norm")))
 
-    sig_expr, bands_of = _band_hashes(F.col("sh"))
-    banded = (
-        sh.withColumn("sig", sig_expr)
-        .select("type", "norm", F.posexplode(bands_of(F.col("sig"))).alias("band", "bh"))
+    sig_expr, bands_of = _band_hashes(char_shingles(F.col("norm")))
+    # sig materializes as a named column (stacked projection, no shuffle)
+    # so the 64-hash signature expression is computed once per row, not
+    # re-inlined into every element_at of every band hash
+    signed = norms.withColumn("sig", sig_expr)
+    band_keys = F.transform(
+        bands_of(F.col("sig")),
+        lambda bh, i: F.concat_ws(":", F.lit("b"), i, bh),
     )
-    lsh_pairs = _bucket_pairs(banded, ["type", "band", "bh"], BUCKET_CAP)
-
     # last-token block: catches initialisms ("a turing" ~ "alan turing")
     # whose shingle overlap is too low for the LSH bands.
-    tok = norms.withColumn("tok", F.substring_index("norm", " ", -1)).filter(
-        F.length("tok") > 1
-    )
-    tok_pairs = _bucket_pairs(tok, ["type", "tok"], TOKEN_BLOCK_CAP)
-
+    tok = F.substring_index(F.col("norm"), " ", -1)
+    tok_keys = F.when(
+        F.length(tok) > 1, F.array(F.concat(F.lit("t:"), tok))
+    ).otherwise(F.array().cast("array<string>"))
     # two-token-prefix block: catches truncation aliases
     # ("orbital logic" ~ "orbital logic systems") whose shingle Jaccard
     # (~0.5-0.65) is below the r=4 LSH collision knee.
-    pre = norms.filter(F.size(F.split("norm", " ")) >= 2).withColumn(
-        "pre2", F.substring_index("norm", " ", 2)
-    )
-    pre_pairs = _bucket_pairs(pre, ["type", "pre2"], TOKEN_BLOCK_CAP)
+    pre_keys = F.when(
+        F.size(F.split(F.col("norm"), " ")) >= 2,
+        F.array(F.concat(F.lit("p:"), F.substring_index(F.col("norm"), " ", 2))),
+    ).otherwise(F.array().cast("array<string>"))
 
-    return lsh_pairs.unionByName(tok_pairs).unionByName(pre_pairs).distinct()
+    keyed = signed.select(
+        "type", "norm",
+        F.explode(F.concat(band_keys, tok_keys, pre_keys)).alias("bkey"),
+    )
+    pairs = _bucket_pairs_capped(keyed)
+    return pairs.distinct()
 
 
 def _token_score(a: str, b: str) -> float:

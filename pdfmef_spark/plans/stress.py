@@ -49,25 +49,37 @@ def stress_mentions(spark: SparkSession, n_entities: int) -> DataFrame:
 
 
 def linking_scaling(
-    spark: SparkSession, n_small: int = 10_000, growth: int = 4
+    spark: SparkSession, n_small: int = 10_000, growth: int = 4, reps: int = 2
 ) -> dict:
-    """Run link_entities at n and growth*n entities; report wall-clock,
-    surfaces/sec, and the time ratio (linear growth => ratio ~= growth;
-    an unbucketed quadratic path would show ~growth**2)."""
+    """Run link_entities at n and growth*n entities; report best-of-reps
+    wall-clock, surfaces/sec, and the time ratio (linear growth => ratio
+    ~= growth; an unbucketed quadratic path would show ~growth**2).
+
+    Reps ALTERNATE between the two sizes (small, large, small, large)
+    so a throttle phase on this burstable VM cannot land entirely on one
+    side and invert the ratio (same discipline as tools/scaling_run.py).
+    """
     from pdfmef_spark.operators.linking import link_entities
 
-    out: dict = {"growth": growth}
-    for tag, n in (("small", n_small), ("large", n_small * growth)):
-        m = stress_mentions(spark, n)
-        t0 = time.time()
-        links = link_entities(m).count()
-        dt = time.time() - t0
+    sizes = {"small": n_small, "large": n_small * growth}
+    best: dict[str, float] = {}
+    links_n: dict[str, int] = {}
+    for _ in range(reps):
+        for tag, n in sizes.items():
+            m = stress_mentions(spark, n)
+            t0 = time.time()
+            links_n[tag] = link_entities(m).count()
+            dt = time.time() - t0
+            best[tag] = min(best.get(tag, dt), dt)
+
+    out: dict = {"growth": growth, "reps": reps}
+    for tag, n in sizes.items():
         out[tag] = {
             "entities": n,
             "surfaces": VARIANTS_PER_ENTITY * n,
-            "links": links,
-            "sec": round(dt, 3),
-            "surfaces_per_sec": round(VARIANTS_PER_ENTITY * n / dt, 1),
+            "links": links_n[tag],
+            "sec": round(best[tag], 3),
+            "surfaces_per_sec": round(VARIANTS_PER_ENTITY * n / best[tag], 1),
         }
     out["time_ratio"] = round(out["large"]["sec"] / out["small"]["sec"], 3)
     return out

@@ -94,3 +94,24 @@ def test_brute_force_topk_no_big_side_shuffle(spark):
     )
     plan = _plan(similarity.brute_force_topk(emb, queries, k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_candidate_pairs_single_groupby_shuffle(spark):
+    """All three blocking families (LSH bands, last-token, two-token
+    prefix) ride ONE groupBy exchange + one distinct — not one exchange
+    per family (round-2 unification, linking._bucket_pairs_capped)."""
+    from pdfmef_spark.operators import linking
+    from pyspark.sql import functions as F
+
+    keys = spark.createDataFrame(
+        [("PERSON", f"fn{i % 9} ln{i}", 1) for i in range(200)],
+        "type string, surface string, freq int",
+    ).withColumn("norm", F.col("surface"))
+    plan = (
+        linking.candidate_pairs(keys)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # exactly: norms-distinct, ONE (type, bkey) groupBy, pairs-distinct.
+    # The pre-unification shape re-ran the norms-distinct subtree and a
+    # groupBy per family: 7 exchanges.
+    assert plan.count("Exchange hashpartitioning") == 3, plan[:2000]
