@@ -1396,3 +1396,80 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rflag", "lstatus")
     )
+
+
+@_register(
+    "media_resize_plan",
+    oracle="""
+    WITH m AS (
+      SELECT range AS media_id,
+             64 + (range % 16) * 8 AS width,
+             64 + (range % 9) * 8 AS height
+      FROM range(64)
+    )
+    SELECT CAST(media_id AS BIGINT) AS media_id, 'image' AS kind,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(round(width * least(256.0 / greatest(width, height), 1.0)) AS INT)
+             AS target_width,
+           CAST(round(height * least(256.0 / greatest(width, height), 1.0)) AS INT)
+             AS target_height
+    FROM m ORDER BY media_id
+    """,
+)
+def media_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata math (resize planning) — deterministic synthetic
+    media table, JVM-side aspect-ratio arithmetic; the decode itself is the
+    (stubbed) codec call and never enters this plan."""
+    from pdfmef_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, 64, kind="image")
+    return multimodal.resize_plan(media, max_side=256).orderBy("media_id")
+
+
+@_register(
+    "media_frame_plan",
+    oracle="""
+    SELECT CAST(m.range AS BIGINT) AS media_id, CAST(f.range AS INT) AS frame_idx
+    FROM range(64) m CROSS JOIN range(0, 30, 10) f
+    ORDER BY media_id, frame_idx
+    """,
+)
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: explode sampled frame indices (sequence
+    step) per media row — pure metadata, no decode."""
+    from pdfmef_spark.operators import multimodal
+
+    media = multimodal.synthetic_media(spark, 64, kind="video")
+    return multimodal.frame_sample_plan(media, every_n=10).orderBy(
+        "media_id", "frame_idx"
+    )
+
+
+@_register(
+    "embedding_near_dups",
+    oracle="""
+    SELECT CAST(vec_id AS BIGINT) AS a,
+           CAST(vec_id + 10000 AS BIGINT) AS b,
+           1.0 AS cosine
+    FROM embeddings WHERE vec_id % 10 = 3
+    ORDER BY a
+    """,
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH embedding near-dup detection over the embeddings table
+    with planted exact duplicates (vec_id % 10 == 3 copied to id+10000).
+
+    Oracle-exact by construction: identical vectors share every sign in
+    every LSH table (recall 1.0, deterministic), the exact-cosine verify
+    step makes precision 1.0, and the testdata embeddings have no natural
+    pair above cosine 0.52 — so the output is precisely the planted pair
+    set. The numpy hyperplanes never need a SQL counterpart."""
+    from pdfmef_spark.operators import dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return dedup.embedding_dup_pairs(
+        emb.unionByName(planted), threshold=0.99, n_planes=12, n_tables=4
+    ).orderBy("a", "b")
