@@ -1473,3 +1473,42 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dup_pairs(
         emb.unionByName(planted), threshold=0.99, n_planes=12, n_tables=4
     ).orderBy("a", "b")
+
+
+@_register(
+    "user_event_type_map",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, CAST(count(*) AS INT) AS n_types FROM c GROUP BY user_id)
+    SELECT c.user_id, t.n_types, c.event_type, c.cnt
+    FROM c JOIN t USING (user_id)
+    WHERE c.cnt >= 2
+    ORDER BY user_id, event_type
+    """,
+)
+def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions: map_from_entries -> size -> map_filter -> explode(map).
+
+    The map is built per user from (event_type, count) entries, filtered
+    to entries with cnt >= 2, and exploded back to rows (row output keeps
+    the DuckDB comparison map-order-independent)."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    m = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    return (
+        m.select(
+            "user_id",
+            F.size("m").alias("n_types"),
+            F.explode(F.map_filter("m", lambda k, v: v >= 2)).alias(
+                "event_type", "cnt"
+            ),
+        )
+        .orderBy("user_id", "event_type")
+    )

@@ -1,4 +1,6 @@
-"""Row-level delete sink over partitioned parquet tables (K5 analog).
+"""Row-level delete + upsert sinks over partitioned parquet tables
+(K5 analog; upsert = the MERGE INTO shape of the reference's
+update_state writes, wrappers.py update_state).
 
 The reference's only index-maintenance surface is an Elasticsearch
 `delete_by_query` on paper_id (script/delete_papers.py:1-18). The
@@ -85,10 +87,82 @@ def delete_by_key(
     if doomed == 0:
         return {"rows_deleted": 0, "partitions_rewritten": 0, "partitions_total": 1}
     remaining = tbl.join(F.broadcast(keys), key_col, "left_anti")
-    tmp = f"{table_dir}.tmp-{uuid.uuid4().hex[:8]}"
-    remaining.write.mode("overwrite").parquet(tmp)
-    old = f"{table_dir}.old-{uuid.uuid4().hex[:8]}"
-    os.rename(table_dir, old)
-    os.rename(tmp, table_dir)
-    shutil.rmtree(old)
+    _swap_in(spark, table_dir, remaining)
     return {"rows_deleted": doomed, "partitions_rewritten": 1, "partitions_total": 1}
+
+
+def _swap_in(spark: SparkSession, target_dir: str, df: DataFrame) -> None:
+    """Write df to a temp sibling, then atomically swap it into place
+    (never read-and-overwrite the same path in one job)."""
+    tmp = f"{target_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{target_dir}.old-{uuid.uuid4().hex[:8]}"
+    os.rename(target_dir, old)
+    os.rename(tmp, target_dir)
+    shutil.rmtree(old)
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    table_dir: str,
+    key_col: str,
+    updates: DataFrame,
+    bucket_col: str = "bucket",
+    n_buckets: int | None = None,
+) -> dict:
+    """MERGE INTO analog over bucket-partitioned parquet: rows matching an
+    update key are replaced, unmatched update rows are inserted — each
+    affected bucket rewritten copy-on-write, untouched buckets never read.
+
+    `updates` must carry the table's data columns (everything except the
+    hive bucket column). On an Iceberg catalog this is
+    `MERGE INTO t USING u ON t.key = u.key WHEN MATCHED THEN UPDATE ...
+    WHEN NOT MATCHED THEN INSERT ...`; this is the explicit parquet-layout
+    fallback with the same partition-pruning property.
+    """
+    part_dirs = sorted(
+        d for d in os.listdir(table_dir) if d.startswith(f"{bucket_col}=")
+    )
+    if part_dirs and n_buckets is not None:
+        up = updates.withColumn(bucket_col, bucket_of(F.col(key_col), n_buckets))
+        affected = sorted(
+            r[bucket_col] for r in up.select(bucket_col).distinct().collect()
+        )
+        rows_updated = rows_inserted = rewritten = 0
+        for b in affected:
+            src = f"{table_dir}/{bucket_col}={b}"
+            u = up.filter(F.col(bucket_col) == b).drop(bucket_col)
+            if os.path.isdir(src):
+                sub = spark.read.parquet(src)
+                matched = sub.join(F.broadcast(u.select(key_col)), key_col, "left_semi").count()
+                merged = sub.join(
+                    F.broadcast(u.select(key_col)), key_col, "left_anti"
+                ).unionByName(u)
+                _swap_in(spark, src, merged)
+            else:  # brand-new bucket: all inserts
+                matched = 0
+                os.makedirs(src, exist_ok=True)
+                _swap_in(spark, src, u)
+            n_up = u.count()
+            rows_updated += matched
+            rows_inserted += n_up - matched
+            rewritten += 1
+        return {
+            "rows_updated": rows_updated,
+            "rows_inserted": rows_inserted,
+            "partitions_rewritten": rewritten,
+            "partitions_total": max(len(part_dirs), rewritten),
+        }
+
+    tbl = spark.read.parquet(table_dir)
+    matched = tbl.join(F.broadcast(updates.select(key_col)), key_col, "left_semi").count()
+    merged = tbl.join(
+        F.broadcast(updates.select(key_col)), key_col, "left_anti"
+    ).unionByName(updates.select(*tbl.columns))
+    _swap_in(spark, table_dir, merged)
+    return {
+        "rows_updated": matched,
+        "rows_inserted": updates.count() - matched,
+        "partitions_rewritten": 1,
+        "partitions_total": 1,
+    }

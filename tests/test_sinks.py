@@ -82,3 +82,43 @@ def test_delete_by_key_unpartitioned(spark, tmp_path):
     stats = sinks.delete_by_key(spark, table_dir, "doc_id", doomed)
     assert stats["rows_deleted"] == 2
     assert spark.read.parquet(table_dir).count() == 98
+
+
+def test_upsert_by_key_partitioned(spark, tmp_path):
+    table_dir = _make_table(spark, tmp_path)
+    updates = spark.createDataFrame(
+        [("doc-3", -1), ("doc-999", -2), ("doc-NEW1", 111), ("doc-NEW2", 222)],
+        "doc_id string, val long",
+    )
+    before = _file_state(table_dir)
+    stats = sinks.upsert_by_key(spark, table_dir, "doc_id", updates, n_buckets=N_BUCKETS)
+    assert stats["rows_updated"] == 2 and stats["rows_inserted"] == 2
+
+    t = spark.read.parquet(table_dir)
+    assert t.count() == 1002  # 1000 - 2 replaced + 2 replaced + 2 inserted
+    got = {r.doc_id: r.val for r in t.filter(
+        F.col("doc_id").isin("doc-3", "doc-999", "doc-NEW1", "doc-NEW2", "doc-4")
+    ).collect()}
+    assert got == {"doc-3": -1, "doc-999": -2, "doc-NEW1": 111, "doc-NEW2": 222,
+                   "doc-4": 28}
+
+    # pruning: buckets not holding any update key are untouched
+    after = _file_state(table_dir)
+    touched = {
+        r.b for r in updates.select(sinks.bucket_of(F.col("doc_id"), N_BUCKETS).alias("b")).collect()
+    }
+    for path, mtime in before.items():
+        part = next((s for s in path.split(os.sep) if s.startswith("bucket=")), None)
+        if part and int(part.split("=")[1]) not in touched:
+            assert after.get(path) == mtime, f"untouched partition rewritten: {path}"
+
+
+def test_upsert_semantically_idempotent(spark, tmp_path):
+    table_dir = _make_table(spark, tmp_path)
+    updates = spark.createDataFrame([("doc-7", 70707)], "doc_id string, val long")
+    sinks.upsert_by_key(spark, table_dir, "doc_id", updates, n_buckets=N_BUCKETS)
+    s2 = sinks.upsert_by_key(spark, table_dir, "doc_id", updates, n_buckets=N_BUCKETS)
+    assert s2["rows_updated"] == 1 and s2["rows_inserted"] == 0
+    t = spark.read.parquet(table_dir)
+    assert t.count() == 1000
+    assert t.filter(F.col("doc_id") == "doc-7").first().val == 70707
