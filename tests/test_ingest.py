@@ -74,3 +74,39 @@ def test_stream_picks_up_new_drops(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.sql("SELECT count(DISTINCT url) c FROM up3b").first().c == 20
     assert os.path.isdir(up_dir)
+
+
+def test_stream_triples_match_batch(spark, tmp_path):
+    """The full extract -> triples chain runs unchanged on a stream:
+    streamed triple set == batch triple set over the same pages."""
+    from pyspark.sql import functions as F
+
+    from pdfmef_spark.operators import triples as triples_op
+    from pdfmef_spark.streaming import ingest as ing
+
+    pages = store.read_pages(spark, SF).limit(30).cache()
+    up_dir = str(tmp_path / "uploads4")
+    _drop(pages, f"{up_dir}/drop1")
+
+    uploads = ing.gate_upload_size(ing.read_page_uploads(spark, f"{up_dir}/*"))
+    ok = uploads.filter(F.col("upload_error").isNull())
+    streamed = triples_op.extract_triples(extract.extract_pages(ok))
+    q = (
+        streamed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trip_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.url, r.subj, r.pred, r.obj)
+        for r in spark.sql("SELECT url, subj, pred, obj FROM trip_stream").collect()
+    }
+    want = {
+        (r.url, r.subj, r.pred, r.obj)
+        for r in triples_op.extract_triples(extract.extract_pages(pages))
+        .select("url", "subj", "pred", "obj")
+        .collect()
+    }
+    assert got == want and len(got) > 0
