@@ -89,6 +89,28 @@ def main() -> None:
             spark, n_small=10_000, growth=4
         )
 
+        # distributed connected components on a >=1M-edge random graph:
+        # the path a 100 TB link graph always takes (driver_cutoff=0
+        # forces the alternating large-star/small-star iterative joins)
+        from pyspark.sql import functions as F
+
+        from pdfmef_spark.operators import components
+
+        n_edges, n_nodes = 1_200_000, 400_000
+        g = spark.range(n_edges).select(
+            F.concat(F.lit("n"), F.pmod(F.xxhash64("id"), F.lit(n_nodes))).alias("src"),
+            F.concat(F.lit("n"), F.pmod(F.xxhash64(F.col("id") + 7), F.lit(n_nodes))).alias("dst"),
+        )
+        t0 = time.time()
+        comp = components.connected_components(g, driver_cutoff=0)
+        n_comp = comp.select("component").distinct().count()
+        out["cc_distributed"] = {
+            "edges": n_edges,
+            "nodes": n_nodes,
+            "components": n_comp,
+            "sec": round(time.time() - t0, 3),
+        }
+
     # attach the latest scaling evidence if tools/scaling_run.py has run
     scal = "/root/repo/.cache/scaling_result.json"
     if os.path.exists(scal):
