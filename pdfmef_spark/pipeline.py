@@ -67,6 +67,7 @@ def _completed_stages(spark: SparkSession, out_dir: str) -> set[str]:
 def _write_stage(
     spark: SparkSession, out_dir: str, run_id: str, stage: str, df: DataFrame,
     error_col: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> DataFrame:
     """Write stage output + manifest.
 
@@ -93,7 +94,13 @@ def _write_stage(
         err_expr.cast("long").alias("n_errors"),
         F.coalesce(F.bit_xor(F.xxhash64(F.struct("*"))), F.lit(0)).alias("sha_long"),
     )
-    observed.write.mode("overwrite").parquet(path)
+    writer = observed.write.mode("overwrite")
+    if partition_by:
+        # hive layout on low-cardinality columns (edges by pred, nodes by
+        # type): downstream per-predicate/per-type reads prune partitions
+        # at the scan (the Iceberg-table shape from the north star)
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
     totals = obs.get
 
     # per-partition rows via a distributed count grouped by output file —
@@ -107,8 +114,10 @@ def _write_stage(
         .collect()
     )
     records = []
-    for r in sorted(per_part, key=lambda r: r.f):
-        pid = int(os.path.basename(r.f).split("-")[1])
+    for pid, r in enumerate(sorted(per_part, key=lambda r: r.f)):
+        # dense index over sorted file paths: unique even under hive
+        # partitioned layouts where task-numbered file names repeat
+        # across partition directories
         records.append(
             (run_id, stage, pid, "partition_done", None, r.rows, None, None)
         )
@@ -141,13 +150,19 @@ def run_pipeline(
 
     completed = _completed_stages(spark, out_dir)
 
-    def stage(name: str, build, error_col: str | None = None) -> DataFrame:
+    def stage(
+        name: str, build, error_col: str | None = None,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
         if name in completed:
             df = spark.read.parquet(f"{out_dir}/{name}")
             run.results[name] = StageResult(name, df, recomputed=False)
             return df
         t0 = time.time()
-        df = _write_stage(spark, out_dir, run_id, name, build(), error_col=error_col)
+        df = _write_stage(
+            spark, out_dir, run_id, name, build(), error_col=error_col,
+            partition_by=partition_by,
+        )
         run.results[name] = StageResult(name, df, recomputed=True, seconds=round(time.time() - t0, 2))
         return df
 
@@ -164,7 +179,8 @@ def run_pipeline(
         run._edges_tmp = edges  # noqa: SLF001 — handed to the edges stage below
         return nodes
 
-    stage("nodes", build_graph)
+    stage("nodes", build_graph, partition_by=["type"])
     stage("edges", lambda: run._edges_tmp if hasattr(run, "_edges_tmp")
-          else graph.materialize_graph(triples, keys, assignments)[1])
+          else graph.materialize_graph(triples, keys, assignments)[1],
+          partition_by=["pred"])
     return run
