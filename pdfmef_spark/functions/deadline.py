@@ -59,16 +59,33 @@ class DeadlineRunner:
         return self._payloads[key]
 
     def run(self, fn, *args):
-        pool = self._ensure()
-        fut = pool.submit(_invoke, self._payload(fn), *args)
+        try:
+            fut = self._ensure().submit(_invoke, self._payload(fn), *args)
+        except Exception:
+            # pool broken by an earlier worker death: rebuild once and retry
+            self.close()
+            fut = self._ensure().submit(_invoke, self._payload(fn), *args)
         try:
             return fut.result(timeout=self.seconds), None
-        except cf.TimeoutError:
+        except TimeoutError as exc:
+            # On 3.11+ concurrent.futures.TimeoutError IS builtin
+            # TimeoutError, so a TimeoutError subclass raised BY the
+            # callable (e.g. socket.timeout) lands here too. fut.done()
+            # separates the cases: done => the worker raised (healthy,
+            # error is data); not done => deadline expiry (kill worker).
+            if fut.done():
+                return None, f"{type(exc).__name__}: {exc}"
+            pool = self._pool
             for p in pool._processes.values():  # noqa: SLF001 — kill, not join
                 p.kill()
             pool.shutdown(wait=False)
             self._pool = None
             return None, "Timeout"
+        except cf.process.BrokenProcessPool:
+            # worker died mid-call (segfault/OOM-kill): error is data,
+            # and the pool must be rebuilt or every later row would raise
+            self.close()
+            return None, "BrokenProcessPool: worker died"
         except Exception as exc:  # worker raised: error is data
             return None, f"{type(exc).__name__}: {exc}"
 

@@ -43,6 +43,10 @@ _ANY_TAG = re.compile(r"(?s)<[^>]*>")
 _TITLE_TAG = re.compile(r"(?is)<title[^>]*>(.*?)</title\s*>")
 
 
+class _RowError(Exception):
+    """Carries an already-formatted per-row error message verbatim."""
+
+
 def extract_html_bytes(raw: bytes) -> tuple[str, list[str], str | None, int]:
     """Pure extraction: (text, links, title, n_blocks). Deterministic."""
     s = raw.decode("utf-8", errors="replace")
@@ -92,7 +96,10 @@ def extract_pages(
                         if runner is not None:
                             out, err = runner.run(extract_fn, bytes(raw))
                             if err is not None:
-                                raise TimeoutError(err) if err == "Timeout" else ValueError(err)
+                                # err is already "Type: msg" (or "Timeout")
+                                # — carry it verbatim so the error column
+                                # matches the in-process path exactly
+                                raise _RowError(err)
                             text, links, title, nb = out
                         else:
                             text, links, title, nb = extract_fn(bytes(raw))
@@ -106,7 +113,11 @@ def extract_pages(
                         links_col.append(None)
                         titles.append(None)
                         nblocks.append(None)
-                        msg = str(exc) if str(exc) == "Timeout" else f"{type(exc).__name__}: {exc}"
+                        msg = (
+                            str(exc)
+                            if isinstance(exc, _RowError)
+                            else f"{type(exc).__name__}: {exc}"
+                        )
                         errs.append(msg)
                 yield pd.DataFrame(
                     {

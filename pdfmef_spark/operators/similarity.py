@@ -51,14 +51,20 @@ def train_centroids(
 
     The sample is a seeded `df.sample()` over the whole table — a
     `.limit()` would take whatever rows the first files yield, biasing
-    the quantizer toward one shard's distribution. At 100 TB the sample
-    is still a few thousand rows — training cost is O(sample * k *
-    iters) on the driver; assignment of the full table stays
-    distributed."""
+    the quantizer toward one shard's distribution (the ~20% overdraw is
+    trimmed by a seeded driver-side shuffle, NOT a limit, for the same
+    reason). At 100 TB the sample is still a few thousand rows —
+    training cost is O(sample * k * iters) on the driver; assignment of
+    the full table stays distributed."""
     n = emb.count()
-    frac = min(1.0, (sample * 1.2) / max(n, 1))
-    rows = emb.select(vec_col).sample(fraction=frac, seed=seed).limit(sample).collect()
+    if n == 0:
+        raise ValueError("train_centroids: embeddings table is empty")
+    frac = min(1.0, (sample * 1.2) / n)
+    rows = emb.select(vec_col).sample(fraction=frac, seed=seed).collect()
     x = np.array([r[0] for r in rows], dtype=np.float64)
+    if len(x) > sample:
+        trim = np.random.default_rng(seed).permutation(len(x))[:sample]
+        x = x[trim]
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]

@@ -14,9 +14,11 @@ engine would prefer; this module is the explicit parquet-layout
 fallback).
 
 Safety: the rewrite never reads and overwrites a path in the same job —
-affected partitions are written to a sibling temp dir first, then
-swapped in with atomic per-directory renames. Untouched partition
-directories are never listed, read, or rewritten (asserted by test).
+affected partitions are written to a hidden sibling temp dir first,
+then swapped in by rename (crash between the two renames leaves the old
+data recoverable in a hidden dir; Iceberg's metadata commit makes the
+same operation atomic, see _swap_in). Untouched partition directories
+are never listed, read, or rewritten (asserted by test).
 """
 
 from __future__ import annotations
@@ -31,6 +33,21 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 def bucket_of(key, n_buckets: int):
     """The layout's bucketing function (matches sources/store.py)."""
     return F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+
+
+def _part_dirs(table_dir: str, bucket_col: str, n_buckets: int | None) -> list[str]:
+    """Bucket partition dirs of the table; refuses to silently flatten a
+    partitioned layout when the caller forgot n_buckets."""
+    dirs = sorted(
+        d for d in os.listdir(table_dir) if d.startswith(f"{bucket_col}=")
+    )
+    if dirs and n_buckets is None:
+        raise ValueError(
+            f"{table_dir} is hive-partitioned by {bucket_col!r} but n_buckets "
+            "was not given; a full rewrite would flatten the layout and lose "
+            "partition pruning. Pass n_buckets matching the write layout."
+        )
+    return dirs
 
 
 def delete_by_key(
@@ -51,9 +68,7 @@ def delete_by_key(
     rewrites nothing.
     """
     keys = keys.select(F.col(key_col)).distinct()
-    part_dirs = sorted(
-        d for d in os.listdir(table_dir) if d.startswith(f"{bucket_col}=")
-    )
+    part_dirs = _part_dirs(table_dir, bucket_col, n_buckets)
     if part_dirs and n_buckets is not None:
         k = keys.withColumn(bucket_col, bucket_of(F.col(key_col), n_buckets))
         affected = {r[bucket_col] for r in k.select(bucket_col).distinct().collect()}
@@ -67,12 +82,7 @@ def delete_by_key(
             if doomed == 0:
                 continue
             remaining = sub.join(F.broadcast(keys), key_col, "left_anti")
-            tmp = f"{table_dir}/.{d}.tmp-{uuid.uuid4().hex[:8]}"
-            remaining.write.mode("overwrite").parquet(tmp)
-            old = f"{table_dir}/.{d}.old-{uuid.uuid4().hex[:8]}"
-            os.rename(src, old)
-            os.rename(tmp, src)
-            shutil.rmtree(old)
+            _swap_in(spark, src, remaining)
             rows_deleted += doomed
             rewritten += 1
         return {
@@ -92,11 +102,21 @@ def delete_by_key(
 
 
 def _swap_in(spark: SparkSession, target_dir: str, df: DataFrame) -> None:
-    """Write df to a temp sibling, then atomically swap it into place
-    (never read-and-overwrite the same path in one job)."""
-    tmp = f"{target_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    """Write df to a hidden temp sibling, then swap it into place with two
+    renames (never read-and-overwrite the same path in one job).
+
+    Temp/old dirs are dot-prefixed BASENAMES so Spark partition discovery
+    and the `bucket=` listings in this module never see them. The swap is
+    two renames, not one atomic exchange: a crash between them leaves the
+    data recoverable in the hidden `.<name>.old-*` dir rather than
+    committed — on an Iceberg catalog this whole operation is a single
+    atomic metadata commit, which is what a production deployment should
+    use; this is the explicit plain-parquet fallback.
+    """
+    parent, base = os.path.dirname(target_dir), os.path.basename(target_dir)
+    tmp = os.path.join(parent, f".{base}.tmp-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(tmp)
-    old = f"{target_dir}.old-{uuid.uuid4().hex[:8]}"
+    old = os.path.join(parent, f".{base}.old-{uuid.uuid4().hex[:8]}")
     os.rename(target_dir, old)
     os.rename(tmp, target_dir)
     shutil.rmtree(old)
@@ -120,9 +140,7 @@ def upsert_by_key(
     WHEN NOT MATCHED THEN INSERT ...`; this is the explicit parquet-layout
     fallback with the same partition-pruning property.
     """
-    part_dirs = sorted(
-        d for d in os.listdir(table_dir) if d.startswith(f"{bucket_col}=")
-    )
+    part_dirs = _part_dirs(table_dir, bucket_col, n_buckets)
     if part_dirs and n_buckets is not None:
         up = updates.withColumn(bucket_col, bucket_of(F.col(key_col), n_buckets))
         affected = sorted(

@@ -117,3 +117,68 @@ def test_row_timeout_passthrough_matches_default(spark):
     a = sorted(map(tuple, extract.extract_pages(pages).collect()))
     b = sorted(map(tuple, extract.extract_pages(pages, row_timeout=30).collect()))
     assert a == b
+
+
+def test_worker_crash_is_error_row_not_task_failure(spark):
+    """A worker process that DIES (not raises) must yield an error row and
+    the rebuilt pool must keep processing subsequent rows."""
+    from pdfmef_spark.operators import extract
+
+    def crashy_extract(raw: bytes):
+        import os as _os
+
+        if b"segv" in raw:
+            _os._exit(137)  # simulate a native crash / OOM kill
+        return raw.decode(), [], None, 1
+
+    rows = [
+        ("a", b"first ok", "en"),
+        ("boom", b"segv here", "en"),
+        ("b", b"second ok", "en"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary, lang string").coalesce(1)
+    got = {
+        r.url: r
+        for r in extract.extract_pages(
+            pages, row_timeout=10, extract_fn=crashy_extract
+        ).collect()
+    }
+    assert "BrokenProcessPool" in got["boom"].error
+    assert got["a"].error is None and got["a"].text == "first ok"
+    assert got["b"].error is None and got["b"].text == "second ok"  # pool rebuilt
+
+
+def test_callable_timeout_error_is_data_not_deadline(spark):
+    """A TimeoutError RAISED by the callable (socket.timeout-style) is
+    recorded as that error, not conflated with deadline expiry."""
+    from pdfmef_spark.operators import extract
+
+    def flaky_extract(raw: bytes):
+        if b"sock" in raw:
+            raise TimeoutError("timed out reading upstream")
+        return raw.decode(), [], None, 1
+
+    rows = [("s", b"sock", "en"), ("ok", b"fine", "en")]
+    pages = spark.createDataFrame(rows, "url string, html binary, lang string").coalesce(1)
+    got = {
+        r.url: r
+        for r in extract.extract_pages(
+            pages, row_timeout=30, extract_fn=flaky_extract
+        ).collect()
+    }
+    assert got["s"].error == "TimeoutError: timed out reading upstream"
+    assert got["ok"].error is None
+
+
+def test_error_string_identical_with_and_without_deadline(spark):
+    """The error column must not depend on the orthogonal row_timeout flag."""
+    from pdfmef_spark.operators import extract
+
+    def bad_extract(raw: bytes):
+        raise KeyError("missing thing")
+
+    rows = [("u", b"x", "en")]
+    pages = spark.createDataFrame(rows, "url string, html binary, lang string")
+    a = extract.extract_pages(pages, extract_fn=bad_extract).first().error
+    b = extract.extract_pages(pages, row_timeout=30, extract_fn=bad_extract).first().error
+    assert a == b == "KeyError: 'missing thing'"

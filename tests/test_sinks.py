@@ -122,3 +122,17 @@ def test_upsert_semantically_idempotent(spark, tmp_path):
     t = spark.read.parquet(table_dir)
     assert t.count() == 1000
     assert t.filter(F.col("doc_id") == "doc-7").first().val == 70707
+
+
+def test_partitioned_table_requires_n_buckets(spark, tmp_path):
+    import pytest
+
+    table_dir = _make_table(spark, tmp_path)
+    doomed = spark.createDataFrame([("doc-1",)], "doc_id string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        sinks.delete_by_key(spark, table_dir, "doc_id", doomed)
+    with pytest.raises(ValueError, match="n_buckets"):
+        sinks.upsert_by_key(
+            spark, table_dir, "doc_id",
+            spark.createDataFrame([("doc-1", 5)], "doc_id string, val long"),
+        )
