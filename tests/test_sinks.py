@@ -136,3 +136,34 @@ def test_partitioned_table_requires_n_buckets(spark, tmp_path):
             spark, table_dir, "doc_id",
             spark.createDataFrame([("doc-1", 5)], "doc_id string, val long"),
         )
+
+
+def test_random_delete_upsert_sequence_matches_model(spark, tmp_path):
+    """Five seeded random delete/upsert rounds against the parquet table
+    equal a plain dict model of the same operations."""
+    import random
+
+    rng = random.Random(4242)
+    table_dir = str(tmp_path / "seq")
+    model = {f"doc-{i}": i * 7 for i in range(300)}
+    df = spark.createDataFrame(list(model.items()), "doc_id string, val long")
+    df.withColumn("bucket", sinks.bucket_of(F.col("doc_id"), N_BUCKETS)).write.partitionBy(
+        "bucket"
+    ).parquet(table_dir)
+
+    universe = [f"doc-{i}" for i in range(400)]  # includes never-inserted keys
+    for _ in range(5):
+        ks = rng.sample(universe, rng.randint(1, 30))
+        if rng.random() < 0.5:
+            doomed = spark.createDataFrame([(k,) for k in ks], "doc_id string")
+            sinks.delete_by_key(spark, table_dir, "doc_id", doomed, n_buckets=N_BUCKETS)
+            for k in ks:
+                model.pop(k, None)
+        else:
+            vals = [(k, rng.randint(0, 10**6)) for k in ks]
+            ups = spark.createDataFrame(vals, "doc_id string, val long")
+            sinks.upsert_by_key(spark, table_dir, "doc_id", ups, n_buckets=N_BUCKETS)
+            model.update(dict(vals))
+
+    got = {r.doc_id: r.val for r in spark.read.parquet(table_dir).collect()}
+    assert got == model
