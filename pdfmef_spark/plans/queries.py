@@ -1564,3 +1564,68 @@ def user_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@_register(
+    "events_interval_counts",
+    oracle="""
+    WITH windows AS (
+      SELECT t.event_type,
+             TIMESTAMP '2024-01-01' + INTERVAL (d.d) DAY
+               + INTERVAL (len(t.event_type) % 12) HOUR AS w_start,
+             TIMESTAMP '2024-01-01' + INTERVAL (d.d) DAY
+               + INTERVAL (len(t.event_type) % 12 + 6) HOUR AS w_end
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS d) d
+    )
+    SELECT e.event_type,
+           CAST(floor(epoch(w.w_start)) AS BIGINT) AS window_start,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e
+    JOIN windows w
+      ON e.event_type = w.event_type
+     AND e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY e.event_type, w.w_start
+    ORDER BY e.event_type, window_start
+    """,
+)
+def events_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join via the bucketed equi-join operator
+    (operators/rangejoin.py): per-type 6-hour windows against the events
+    stream — a hash join on (event_type, bucket), never a nested-loop
+    (plan asserted in test_rangejoin)."""
+    from pdfmef_spark.operators.rangejoin import interval_join
+
+    e = _t(spark, sf_dir, "events")
+    types = e.select("event_type").distinct()
+    windows = types.crossJoin(
+        spark.range(0, 31).select(F.col("id").alias("d"))
+    ).select(
+        "event_type",
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_interval(days=F.col("d").cast("int"),
+                              hours=(F.length("event_type") % 12).cast("int"))
+        ).alias("w_start"),
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_interval(days=F.col("d").cast("int"),
+                              hours=(F.length("event_type") % 12 + 6).cast("int"))
+        ).alias("w_end"),
+    )
+    joined = interval_join(
+        e, windows, ts_col="ts", start_col="w_start", end_col="w_end",
+        by=["event_type"], bucket_seconds=6 * 3600,
+    )
+    return (
+        joined.groupBy("event_type", "w_start")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "event_type",
+            F.unix_timestamp("w_start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "window_start")
+    )

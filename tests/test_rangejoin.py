@@ -1,0 +1,62 @@
+"""Interval join: exactness vs brute-force, plan shape (hash join on
+bucket, never nested-loop), multi-bucket spans."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pdfmef_spark.operators.rangejoin import interval_join
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def test_interval_join_matches_brute_force(spark):
+    events = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", _ts(i % 24, i % 60, i % 60)) for i in range(500)],
+        "event_id long, k string, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("a", _ts(1), _ts(4)),
+            ("a", _ts(3), _ts(5)),   # overlapping intervals both match
+            ("b", _ts(2), _ts(2)),   # empty half-open interval matches nothing
+            ("b", _ts(10), _ts(23)), # longer than bucket: spans many buckets
+        ],
+        "k string, start timestamp, end timestamp",
+    )
+    got = {
+        (r.event_id, r.start)
+        for r in interval_join(
+            events, intervals, by=["k"], bucket_seconds=3600
+        ).collect()
+    }
+    ev = events.collect()
+    iv = intervals.collect()
+    want = {
+        (e.event_id, i.start)
+        for e in ev
+        for i in iv
+        if e.k == i.k and i.start <= e.ts < i.end
+    }
+    assert got == want and len(want) > 0
+
+
+def test_interval_join_plan_is_hash_join(spark):
+    events = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2024-01-01").cast("timestamp") + F.make_interval(mins=F.col("id").cast("int"))).alias("ts"),
+    )
+    intervals = spark.range(48).select(
+        (F.lit("2024-01-01").cast("timestamp") + F.make_interval(hours=F.col("id").cast("int"))).alias("start"),
+        (F.lit("2024-01-01").cast("timestamp") + F.make_interval(hours=(F.col("id") + 1).cast("int"))).alias("end"),
+    )
+    plan = (
+        interval_join(events, intervals, bucket_seconds=3600)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "__bucket" in plan  # the equi-join key
