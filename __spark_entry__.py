@@ -5,11 +5,13 @@ each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Pipeline queries (pages corpus) have no DuckDB oracle — the pages
-table is engine-generated — so they get the rows-only check; their
-real correctness gate is the pytest golden suite (P/R >= 0.95,
-byte-identity). Relational/dedup/similarity/text queries run over
-the driver's pre-registered testdata views and carry full oracles.
+Pipeline (kg_*) queries are oracled against the MATERIALIZED corpus
+and golden-truth parquet (read_parquet over the cache the Spark-free
+bootstrap builds, sources/bootstrap.py); relational/dedup/similarity/
+text queries run over the driver's pre-registered testdata views with
+pure-SQL oracles. Sole rows-only exception: kg_entity_links (its
+greedy Python pair scorer is not SQL-expressible); its gate is the
+pytest P/R suite.
 """
 
 from __future__ import annotations
