@@ -103,7 +103,7 @@ def test_bootstrap_matches_spark_materializer(spark, tmp_path):
     sf = 0.0001  # 50 pages
     a = bootstrap.ensure_corpus(sf, cache_dir=str(tmp_path / "py"))
     b = store.materialize_corpus(spark, sf, cache_dir=str(tmp_path / "spark"))
-    for tbl in ("pages", "golden_triples", "golden_surfaces"):
+    for tbl in ("pages", "golden_triples", "golden_surfaces", "golden_algorithms"):
         x = spark.read.parquet(f"{a}/{tbl}")
         y = spark.read.parquet(f"{b}/{tbl}")
         assert sorted(x.columns) == sorted(y.columns), tbl
