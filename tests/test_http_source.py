@@ -85,10 +85,10 @@ def test_fetch_deadline_kills_hung_transport(spark):
     got = {
         r.url: r
         for r in http.fetch_pages(
-            urls.coalesce(1), transport=hang, max_retries=0, row_timeout=1.0
+            urls.coalesce(1), transport=hang, max_retries=0, row_timeout=5.0
         ).collect()
     }
-    assert time.time() - t0 < 60
+    assert time.time() - t0 < 120
     assert bytes(got["http://x/fast"].html) == b"ok"
     assert got["http://x/hang"].error == "Timeout"
     assert got["http://x/hang"].html is None
