@@ -67,12 +67,14 @@ class DeadlineRunner:
             fut = self._ensure().submit(_invoke, self._payload(fn), *args)
         try:
             return fut.result(timeout=self.seconds), None
-        except TimeoutError as exc:
+        except (cf.TimeoutError, TimeoutError) as exc:
             # On 3.11+ concurrent.futures.TimeoutError IS builtin
-            # TimeoutError, so a TimeoutError subclass raised BY the
-            # callable (e.g. socket.timeout) lands here too. fut.done()
-            # separates the cases: done => the worker raised (healthy,
-            # error is data); not done => deadline expiry (kill worker).
+            # TimeoutError; on 3.8-3.10 they are distinct classes, so
+            # both must be caught or the deadline expiry would fall into
+            # the generic handler and the hung worker would never be
+            # killed. fut.done() separates the cases: done => the worker
+            # raised (healthy, error is data); not done => deadline
+            # expiry (kill worker).
             if fut.done():
                 return None, f"{type(exc).__name__}: {exc}"
             pool = self._pool

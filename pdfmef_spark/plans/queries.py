@@ -1335,9 +1335,9 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_moving_avg",
     oracle="""
     WITH w AS (
-      SELECT user_id, event_id, epoch(ts)::BIGINT AS es, value,
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, value,
              avg(value) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+               PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
              ) AS mavg
       FROM events
@@ -1524,7 +1524,11 @@ def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     flagged AS (
       SELECT user_id, ts,
-             CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+             -- >= (not >): Spark session windows are half-open
+             -- [start, start+gap), so an event at exactly prev+gap
+             -- starts a NEW session — the oracle must agree at the
+             -- boundary (ADVICE r02)
+             CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800
                   THEN 1 ELSE 0 END AS new_session
       FROM ordered
     ),

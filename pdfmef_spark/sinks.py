@@ -138,8 +138,24 @@ def upsert_by_key(
     hive bucket column). On an Iceberg catalog this is
     `MERGE INTO t USING u ON t.key = u.key WHEN MATCHED THEN UPDATE ...
     WHEN NOT MATCHED THEN INSERT ...`; this is the explicit parquet-layout
-    fallback with the same partition-pruning property.
+    fallback with the same partition-pruning property — including MERGE's
+    one-match contract: duplicate keys in `updates` raise (a MERGE with
+    multiple source matches per target row errors; silently inserting
+    both would leave duplicate rows per key and over-count rows_inserted).
     """
+    dup = (
+        updates.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"upsert_by_key: duplicate key {dup[0][key_col]!r} in updates — "
+            "MERGE requires at most one source row per target key "
+            "(dropDuplicates the updates first if last-writer-wins is intended)"
+        )
     part_dirs = _part_dirs(table_dir, bucket_col, n_buckets)
     if part_dirs and n_buckets is not None:
         up = updates.withColumn(bucket_col, bucket_of(F.col(key_col), n_buckets))

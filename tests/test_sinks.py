@@ -167,3 +167,18 @@ def test_random_delete_upsert_sequence_matches_model(spark, tmp_path):
 
     got = {r.doc_id: r.val for r in spark.read.parquet(table_dir).collect()}
     assert got == model
+
+
+def test_upsert_duplicate_update_keys_raise(spark, tmp_path):
+    """MERGE one-match contract: duplicate keys in updates error instead
+    of silently inserting both rows (ADVICE r02)."""
+    import pytest
+
+    table_dir = _make_table(spark, tmp_path)
+    dup = spark.createDataFrame(
+        [("doc-1", 1), ("doc-1", 2)], "doc_id string, val long"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        sinks.upsert_by_key(spark, table_dir, "doc_id", dup, n_buckets=N_BUCKETS)
+    # table untouched by the failed merge
+    assert spark.read.parquet(table_dir).count() == 1000
