@@ -36,6 +36,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # KG pipeline end-to-end FIRST (the headline north_rule metric) so
+    # no other workload heats the burstable VM before it is measured
+    # (corpus generation cached & not timed)
+    pages = store.read_pages(spark, sf)
+    n_docs = pages.count()
+    out_dir = tempfile.mkdtemp(prefix="bench_kg_")
+    try:
+        t0 = time.time()
+        run = P.run_pipeline(spark, pages, out_dir, run_id="bench")
+        n_edges = run.df("edges").count()
+        kg_sec = time.time() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    timings["kg_e2e"] = round(kg_sec, 3)
+    docs_per_sec = round(n_docs / kg_sec, 2)
+
     # Relational headliners (testdata tables)
     for name in [
         "q1_pricing_summary",
@@ -52,20 +68,6 @@ def main() -> None:
         fn(spark, sf_dir).collect()
         timings[name] = round(time.time() - t0, 3)
 
-    # KG pipeline end-to-end (corpus generation cached & not timed)
-    pages = store.read_pages(spark, sf)
-    n_docs = pages.count()
-    out_dir = tempfile.mkdtemp(prefix="bench_kg_")
-    try:
-        t0 = time.time()
-        run = P.run_pipeline(spark, pages, out_dir, run_id="bench")
-        n_edges = run.df("edges").count()
-        kg_sec = time.time() - t0
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
-    timings["kg_e2e"] = round(kg_sec, 3)
-    docs_per_sec = round(n_docs / kg_sec, 2)
-
     out = {
         "metric": "kg_pipeline_e2e_plus_headline_queries",
         "value": round(sum(timings.values()), 3),
@@ -77,6 +79,11 @@ def main() -> None:
         "docs_per_sec": docs_per_sec,
         "cpus": cpus,
         "kg_stages": {k: v.seconds for k, v in run.results.items()},
+        # candidate-cap drop counters observed on the links write job:
+        # 0/0 at this scale (oracles prove recall); nonzero at 100 TB,
+        # where recall loss must be measured, not assumed
+        "linking_caps": (run.results["links"].metrics
+                         if "links" in run.results else None),
     }
     # vocabulary-growth linking stress (VERDICT r1 #9): distinct-surface
     # count grows with n (unlike the fixed-pool corpus); near-linear
@@ -124,6 +131,13 @@ def main() -> None:
             "extract_efficiency": s["extract"]["scaling_efficiency"],
             "sf": s.get("sf_extract"),
         }
+        if "full" in s:
+            out["scaling"]["full_pipeline_docs_per_sec"] = {
+                str(s["full"]["lo"]["cores"]): s["full"]["lo"]["docs_per_sec"],
+                str(s["full"]["hi"]["cores"]): s["full"]["hi"]["docs_per_sec"],
+            }
+            out["scaling"]["full_pipeline_efficiency"] = s["full"]["scaling_efficiency"]
+            out["scaling"]["sf_full"] = s.get("sf_full")
     print(json.dumps(out))
 
 

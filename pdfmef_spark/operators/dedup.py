@@ -20,6 +20,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+def _observed_cap_filter(df: DataFrame, size_col: str, cap: int, cap_obs) -> DataFrame:
+    """Keep exploded bucket rows with bucket size <= cap; when `cap_obs`
+    (a pyspark Observation) is given, record on the SAME job how much
+    the cap dropped: members_dropped = dropped rows; buckets_dropped =
+    sum over dropped rows of 1/bucket_size (each oversized bucket of
+    size s contributes s * 1/s = 1 — an exact bucket count without a
+    distinct aggregate, which observe() disallows). Recall loss from
+    capping must be a measured number, never an assumption.
+    """
+    over = F.col(size_col) > cap
+    if cap_obs is not None:
+        df = df.observe(
+            cap_obs,
+            F.round(
+                F.sum(F.when(over, 1.0 / F.col(size_col)).otherwise(0.0))
+            ).cast("long").alias("buckets_dropped"),
+            F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("members_dropped"),
+        )
+    return df.filter(~over)
+
+
 # ---------------------------------------------------------------------------
 # word shingles + Jaccard (exact, for candidate verification and small sets)
 # ---------------------------------------------------------------------------
@@ -40,6 +61,7 @@ def word_shingles(col, k: int = 3):
 def ngram_jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 3, threshold: float = 0.8, block_cap: int | None = 64,
+    cap_obs=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs blocked by shared shingle.
 
@@ -57,8 +79,8 @@ def ngram_jaccard_pairs(
     ex = base.select("id", F.explode("sh").alias("g"))
     if block_cap is not None:
         w = W.partitionBy("g")
-        ex = ex.withColumn("gsize", F.count("*").over(w)).filter(
-            F.col("gsize") <= block_cap
+        ex = _observed_cap_filter(
+            ex.withColumn("gsize", F.count("*").over(w)), "gsize", block_cap, cap_obs
         )
     cand = (
         ex.alias("x")
@@ -100,6 +122,7 @@ def minhash_dedup_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 3, n_hashes: int = 64, n_bands: int = 16,
     verify_threshold: float = 0.7, bucket_cap: int = 64,
+    cap_obs=None,
 ) -> DataFrame:
     """Near-duplicate pairs: shingle -> MinHash -> banded buckets ->
     bucket self-join -> exact-Jaccard verification."""
@@ -116,7 +139,9 @@ def minhash_dedup_pairs(
     )
     bands = sig.select("id", "sh", F.posexplode(band_expr).alias("band", "bh"))
     w = W.partitionBy("band", "bh")
-    bands = bands.withColumn("bsize", F.count("*").over(w)).filter(F.col("bsize") <= bucket_cap)
+    bands = _observed_cap_filter(
+        bands.withColumn("bsize", F.count("*").over(w)), "bsize", bucket_cap, cap_obs
+    )
     cand = (
         bands.alias("x")
         .join(
@@ -202,7 +227,7 @@ def simhash60(text_col):
 
 def simhash_dedup_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 3,
+    max_hamming: int = 3, chunk_cap: int = 256, cap_obs=None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -217,7 +242,9 @@ def simhash_dedup_pairs(
         ).alias("chunk", "cv"),
     )
     w = W.partitionBy("chunk", "cv")
-    chunks = chunks.withColumn("csize", F.count("*").over(w)).filter(F.col("csize") <= 256)
+    chunks = _observed_cap_filter(
+        chunks.withColumn("csize", F.count("*").over(w)), "csize", chunk_cap, cap_obs
+    )
     cand = (
         chunks.alias("x")
         .join(
@@ -259,6 +286,7 @@ def cosine_sim(vec_a, vec_b):
 def embedding_dup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, n_planes: int = 16, n_tables: int = 4,
+    bucket_cap: int = 512, cap_obs=None,
 ) -> DataFrame:
     """Near-identical embeddings via sign-LSH blocking + exact cosine verify.
 
@@ -294,7 +322,9 @@ def embedding_dup_pairs(
         "id", "v", F.posexplode(F.array(*[F.col(c) for c in key_cols])).alias("tbl", "key")
     )
     w = W.partitionBy("tbl", "key")
-    buckets = buckets.withColumn("bsize", F.count("*").over(w)).filter(F.col("bsize") <= 512)
+    buckets = _observed_cap_filter(
+        buckets.withColumn("bsize", F.count("*").over(w)), "bsize", bucket_cap, cap_obs
+    )
     cand = (
         buckets.alias("x")
         .join(

@@ -69,7 +69,7 @@ def _band_hashes(shingle_col):
     return sig, bands_of
 
 
-def _bucket_pairs_capped(keyed: DataFrame) -> DataFrame:
+def _bucket_pairs_capped(keyed: DataFrame, cap_obs=None) -> DataFrame:
     """Generate (type, a, b) pairs across ALL blocking families with ONE
     shuffle: groupBy (type, bkey) -> sorted member list (capped) ->
     JVM-side pair expansion (transform x slice) -> explode.
@@ -79,6 +79,14 @@ def _bucket_pairs_capped(keyed: DataFrame) -> DataFrame:
     survives 10^12-row inputs. The member cap depends on the bkey family
     prefix: LSH band buckets ("b:") cap at BUCKET_CAP, token / prefix
     blocks ("t:"/"p:") at TOKEN_BLOCK_CAP.
+
+    `cap_obs` (a pyspark Observation) rides the same job and records how
+    much the caps actually dropped — buckets_dropped / members_dropped —
+    at zero extra passes. At test scale the caps drop nothing (oracles
+    prove recall); at 100 TB hot buckets WILL be dropped, and recall
+    loss must be a measured number in the run manifest, not an
+    assumption (the reference hits the same hub problem silently on its
+    `cites` edges, parscit.py:19-44).
     """
     grouped = keyed.groupBy("type", "bkey").agg(
         F.array_sort(F.collect_set("norm")).alias("members")
@@ -86,6 +94,13 @@ def _bucket_pairs_capped(keyed: DataFrame) -> DataFrame:
     cap = F.when(
         F.col("bkey").startswith("b:"), F.lit(BUCKET_CAP)
     ).otherwise(F.lit(TOKEN_BLOCK_CAP))
+    if cap_obs is not None:
+        over = F.size("members") > cap
+        grouped = grouped.observe(
+            cap_obs,
+            F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("buckets_dropped"),
+            F.sum(F.when(over, F.size("members")).otherwise(0)).cast("long").alias("members_dropped"),
+        )
     small = grouped.filter(
         (F.size("members") >= 2) & (F.size("members") <= cap)
     )
@@ -110,7 +125,7 @@ def _bucket_pairs_capped(keyed: DataFrame) -> DataFrame:
     return pairs.select("type", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
 
 
-def candidate_pairs(keys: DataFrame) -> DataFrame:
+def candidate_pairs(keys: DataFrame, cap_obs=None) -> DataFrame:
     """(type, a, b) candidate pairs, a < b, from LSH bands + last-token
     blocks + two-token-prefix blocks.
 
@@ -151,7 +166,7 @@ def candidate_pairs(keys: DataFrame) -> DataFrame:
         "type", "norm",
         F.explode(F.concat(band_keys, tok_keys, pre_keys)).alias("bkey"),
     )
-    pairs = _bucket_pairs_capped(keyed)
+    pairs = _bucket_pairs_capped(keyed, cap_obs=cap_obs)
     return pairs.distinct()
 
 
@@ -218,7 +233,9 @@ def score_pairs(pairs: DataFrame, threshold: float = 0.70) -> DataFrame:
     )
 
 
-def link_entities(mentions: DataFrame, threshold: float = 0.70) -> DataFrame:
+def link_entities(
+    mentions: DataFrame, threshold: float = 0.70, cap_obs=None
+) -> DataFrame:
     """mentions -> LINKS over normalized surface keys (per type)."""
     keys = surface_keys(mentions)
-    return score_pairs(candidate_pairs(keys), threshold)
+    return score_pairs(candidate_pairs(keys, cap_obs=cap_obs), threshold)

@@ -36,6 +36,7 @@ class StageResult:
     recomputed: bool
     rows: int = -1
     seconds: float = 0.0
+    metrics: dict | None = None
 
 
 @dataclass
@@ -64,20 +65,39 @@ def _completed_stages(spark: SparkSession, out_dir: str) -> set[str]:
     }
 
 
+def _per_partition_counts(path: str) -> list[int]:
+    """Rows per output file, footer-metadata only, ordered by file path.
+
+    pyarrow dataset discovery skips `_SUCCESS`/dot files and resolves
+    hive partition dirs; `fragment.metadata` reads just the parquet
+    footer through the dataset's filesystem (local here, s3/gcs/abfs
+    the same way), so no data pass over the stage output ever happens.
+    """
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(path, format="parquet", partitioning="hive")
+    frags = sorted(dset.get_fragments(), key=lambda fr: fr.path)
+    return [fr.metadata.num_rows for fr in frags]
+
+
 def _write_stage(
     spark: SparkSession, out_dir: str, run_id: str, stage: str, df: DataFrame,
     error_col: str | None = None,
     partition_by: list[str] | None = None,
+    extra_obs=None,
+    out_metrics: dict | None = None,
 ) -> DataFrame:
     """Write stage output + manifest.
 
     Totals (rows, errors, content sha) ride the write job itself via
     ``df.observe`` (zero extra passes); per-partition row counts come
-    from a distributed count-by-output-file over the just-written
-    parquet (one output file per task) — portable to object stores.
-    The reference recovers the same information by re-parsing its
-    result log (src/extractor/main.py:23-41) — here it is observed once
-    and stored as data.
+    from the just-written parquet FOOTERS only (pyarrow dataset
+    fragment metadata — a few KB per file, no data pages touched, and
+    fragment discovery works against any pyarrow filesystem, so the
+    same code path holds on an object store). The reference recovers
+    the same information by re-parsing its result log
+    (src/extractor/main.py:23-41) — here it is observed once and
+    stored as data, with zero re-scan of the stage output.
     """
     path = f"{out_dir}/{stage}"
     err_expr = (
@@ -102,33 +122,44 @@ def _write_stage(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
     totals = obs.get
+    # operator-level side metrics (e.g. linking cap drop counters) rode
+    # the same write job via their own Observation — available now
+    metrics_json = None
+    if extra_obs is not None:
+        import json
 
-    # per-partition rows via a distributed count grouped by output file —
-    # portable to any Hadoop filesystem (s3a/gs/abfs), no local-FS glob,
-    # no driver-side footer loop; the freshly written files are hot in
-    # cache so this count-only scan is cheap
-    per_part = (
-        spark.read.parquet(path)
-        .groupBy(F.input_file_name().alias("f"))
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .collect()
-    )
+        try:
+            vals = {k: int(v) for k, v in dict(extra_obs.get).items()}
+        except Exception:
+            # Spark 4.1 AQE empty-relation propagation drops sub-root
+            # CollectMetrics rows when the stage output is EMPTY (the
+            # root observation above still delivers). An empty stage has
+            # no candidates to have capped — record the metrics as absent
+            # rather than failing the write.
+            vals = None
+        if vals is not None:
+            if out_metrics is not None:
+                out_metrics.update(vals)
+            metrics_json = json.dumps(vals, sort_keys=True)
+
     records = []
-    for pid, r in enumerate(sorted(per_part, key=lambda r: r.f)):
+    for pid, n_rows in enumerate(_per_partition_counts(path)):
         # dense index over sorted file paths: unique even under hive
         # partitioned layouts where task-numbered file names repeat
         # across partition directories
         records.append(
-            (run_id, stage, pid, "partition_done", None, r.rows, None, None)
+            (run_id, stage, pid, "partition_done", None, n_rows, None, None, None)
         )
     records.append(
         (run_id, stage, -1, "complete", None, int(totals["rows_out"]),
-         int(totals["n_errors"]), format(int(totals["sha_long"]) & (2**64 - 1), "x"))
+         int(totals["n_errors"]), format(int(totals["sha_long"]) & (2**64 - 1), "x"),
+         metrics_json)
     )
     manifest = spark.createDataFrame(
         records,
         "run_id string, stage string, partition_id int, status string, "
-        "rows_in long, rows_out long, n_errors long, content_sha string",
+        "rows_in long, rows_out long, n_errors long, content_sha string, "
+        "metrics string",
     ).withColumn("updated_ts", F.current_timestamp())
     manifest.coalesce(1).write.mode("append").parquet(_manifest_path(out_dir))
     return spark.read.parquet(path)
@@ -153,34 +184,45 @@ def run_pipeline(
     def stage(
         name: str, build, error_col: str | None = None,
         partition_by: list[str] | None = None,
+        extra_obs=None,
     ) -> DataFrame:
         if name in completed:
             df = spark.read.parquet(f"{out_dir}/{name}")
             run.results[name] = StageResult(name, df, recomputed=False)
             return df
         t0 = time.time()
+        metrics: dict = {}
         df = _write_stage(
             spark, out_dir, run_id, name, build(), error_col=error_col,
-            partition_by=partition_by,
+            partition_by=partition_by, extra_obs=extra_obs, out_metrics=metrics,
         )
-        run.results[name] = StageResult(name, df, recomputed=True, seconds=round(time.time() - t0, 2))
+        run.results[name] = StageResult(
+            name, df, recomputed=True, seconds=round(time.time() - t0, 2),
+            metrics=metrics or None,
+        )
         return df
 
     extracted = stage("extracted", lambda: extract.extract_pages(pages), error_col="error")
     triples = stage("triples", lambda: triples_op.extract_triples(extracted))
     mentions = stage("mentions", lambda: triples_op.mentions_from_triples(triples))
-    links = stage("links", lambda: linking.link_entities(mentions, link_threshold))
+    # candidate caps drop hot buckets silently at scale — observe the
+    # drop counters on the links write job and store them in the manifest
+    from pyspark.sql import Observation
+
+    cap_obs = Observation(f"links_caps_{run_id}")
+    links = stage(
+        "links",
+        lambda: linking.link_entities(mentions, link_threshold, cap_obs=cap_obs),
+        extra_obs=cap_obs,
+    )
 
     keys = linking.surface_keys(mentions)
     assignments = stage("assignments", lambda: components.assign_components(keys, links))
 
-    def build_graph():
-        nodes, edges = graph.materialize_graph(triples, keys, assignments)
-        run._edges_tmp = edges  # noqa: SLF001 — handed to the edges stage below
-        return nodes
-
-    stage("nodes", build_graph, partition_by=["type"])
-    stage("edges", lambda: run._edges_tmp if hasattr(run, "_edges_tmp")
-          else graph.materialize_graph(triples, keys, assignments)[1],
-          partition_by=["pred"])
+    # materialize_graph is pure plan construction (no jobs run until a
+    # stage writes), so building both outputs up front costs nothing on
+    # resume and each stage writes its own DataFrame — no hand-off state
+    nodes_df, edges_df = graph.materialize_graph(triples, keys, assignments)
+    stage("nodes", lambda: nodes_df, partition_by=["type"])
+    stage("edges", lambda: edges_df, partition_by=["pred"])
     return run

@@ -157,3 +157,37 @@ def test_dedup_keep_min_string_ids(spark):
         "doc-zz": ("doc-a", False),
         "solo": ("solo", True),
     }
+
+
+def test_dedup_cap_drop_counters(spark):
+    """Oversized shingle blocks / LSH buckets are dropped with exact
+    counters riding the same job (no extra pass): 70 identical docs with
+    block_cap=64 drop every gram bucket; 5 docs drop none."""
+    from pyspark.sql import Observation
+
+    # 70 identical hot docs (every gram bucket over cap) + one surviving
+    # near-dup pair: the pair keeps the final output non-empty (AQE's
+    # empty-relation propagation drops sub-root CollectMetrics rows on
+    # empty results), so the counters are retrievable
+    rows = [(i, "alpha beta gamma delta epsilon zeta") for i in range(70)]
+    rows += [(100, "one two three four five six"), (101, "one two three four five six")]
+    many = spark.createDataFrame(rows, "doc_id long, text string")
+    obs = Observation("ngram_caps")
+    n = dedup.ngram_jaccard_pairs(many, block_cap=64, cap_obs=obs).count()
+    assert n == 1  # only the planted pair survives the capped blocks
+    m = {k: int(v) for k, v in dict(obs.get).items()}
+    # 4 distinct 3-gram shingles in the hot text, each bucket holds 70 > cap
+    assert m["buckets_dropped"] == 4
+    assert m["members_dropped"] == 4 * 70
+
+    few = many.limit(5)
+    obs2 = Observation("ngram_caps_ok")
+    dedup.ngram_jaccard_pairs(few, block_cap=64, cap_obs=obs2).count()
+    m2 = {k: int(v) for k, v in dict(obs2.get).items()}
+    assert m2 == {"buckets_dropped": 0, "members_dropped": 0}
+
+    obs3 = Observation("minhash_caps")
+    n3 = dedup.minhash_dedup_pairs(many, bucket_cap=64, cap_obs=obs3).count()
+    assert n3 == 1
+    m3 = {k: int(v) for k, v in dict(obs3.get).items()}
+    assert m3["buckets_dropped"] >= 1 and m3["members_dropped"] >= 70

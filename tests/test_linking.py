@@ -87,3 +87,32 @@ def test_end_to_end_linking_quality(spark, smoke_pages):
     recall = tp / max(tp + fn, 1)
     assert precision >= 0.95, f"cluster precision {precision:.3f} (fp={fp})"
     assert recall >= 0.95, f"cluster recall {recall:.3f} (fn={fn})"
+
+
+def test_cap_drop_counters_planted_hot_bucket(spark):
+    """A planted hot last-token block (> TOKEN_BLOCK_CAP members) must be
+    dropped AND counted — recall loss from capping is measured, never
+    silent (VERDICT r02). A benign vocabulary drops (and counts) zero."""
+    from pyspark.sql import Observation
+
+    n_hot = linking.TOKEN_BLOCK_CAP + 44
+    hot = spark.createDataFrame(
+        [("ORG", f"acme{i:04d} corp") for i in range(n_hot)],
+        "type string, surface string",
+    )
+    # threshold 0.0 keeps the output non-empty: AQE's empty-relation
+    # propagation drops sub-root CollectMetrics rows on empty results
+    obs = Observation("hot_caps")
+    linking.link_entities(hot, 0.0, cap_obs=obs).count()
+    m = {k: int(v) for k, v in dict(obs.get).items()}
+    assert m["buckets_dropped"] >= 1
+    assert m["members_dropped"] >= n_hot
+
+    benign = spark.createDataFrame(
+        [("ORG", f"acme{i:04d} corp{i:04d}") for i in range(50)],
+        "type string, surface string",
+    )
+    obs2 = Observation("benign_caps")
+    linking.link_entities(benign, 0.0, cap_obs=obs2).count()
+    m2 = {k: int(v) for k, v in dict(obs2.get).items()}
+    assert m2 == {"buckets_dropped": 0, "members_dropped": 0}
