@@ -9,9 +9,11 @@ Pipeline (kg_*) queries are oracled against the MATERIALIZED corpus
 and golden-truth parquet (read_parquet over the cache the Spark-free
 bootstrap builds, sources/bootstrap.py); relational/dedup/similarity/
 text queries run over the driver's pre-registered testdata views with
-pure-SQL oracles. Sole rows-only exception: kg_entity_links (its
-greedy Python pair scorer is not SQL-expressible); its gate is the
-pytest P/R suite.
+pure-SQL oracles. Every catalog entry carries a full hash oracle —
+including kg_entity_links, whose greedy Python pair scorer is not
+SQL-expressible but whose end-to-end effect is: post-CC cluster
+membership over the labeled golden surfaces vs the recursive-CTE
+transitive closure of golden_links WHERE same_entity.
 """
 
 from __future__ import annotations

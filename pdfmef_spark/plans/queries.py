@@ -617,6 +617,63 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, threshold=0.8, block_cap=None).orderBy("a", "b")
 
 
+_NGRAM_CAP = 2  # artificially low so the cap VISIBLY binds at sf0.01
+# (max gram bucket there is 7 docs; cap=2 drops 2 of the 25 J>=0.8
+# pairs): the production-shape capped path — including its measured
+# recall cost — is what the driver hash-checks here, not just the
+# uncapped parity variant
+
+_NGRAM08_CAPPED_SQL = f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') t FROM documents),
+    grams AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> array_to_string(t[i:i+2], ' '))) gs
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(gs) g FROM grams),
+    -- the cap restated declaratively: window-count docs per gram, drop
+    -- WHOLE oversized gram buckets before candidate generation (exactly
+    -- the Spark operator's gsize <= cap filter — bucket-atomic, so no
+    -- ordering sensitivity)
+    kept AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS gsize FROM ex
+      ) WHERE gsize <= {_NGRAM_CAP}
+    ),
+    cand AS (SELECT DISTINCT x.doc_id a, y.doc_id b
+             FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id),
+    -- exact Jaccard still over the FULL shingle sets (the cap only
+    -- gates candidate generation, never the verification arrays)
+    inter AS (SELECT x.doc_id a, y.doc_id b, count(*) i
+              FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+              GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, len(gs) n FROM grams)
+    SELECT a, b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM cand JOIN inter USING (a, b)
+    JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+    ORDER BY a, b
+    """
+
+
+@_register("ngram_jaccard_dedup_capped", oracle=_NGRAM08_CAPPED_SQL)
+def ngram_jaccard_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of n-gram dedup: hot gram buckets capped
+    before pair expansion (cap=_NGRAM_CAP, low enough that the cap
+    actually costs 2 pairs on this corpus — at 100 TB the cap is what
+    keeps a stop-phrase shingle from expanding quadratically). The
+    oracle restates the cap
+    as a window count per gram, so the driver hash-checks the capped
+    path itself, not only the uncapped parity variant above."""
+    from pdfmef_spark.operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, threshold=0.8, block_cap=_NGRAM_CAP
+    ).orderBy("a", "b")
+
+
 @_register("minhash_dedup", oracle=_NGRAM08_SQL)
 def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified. The oracle is
@@ -1008,16 +1065,102 @@ def kg_edges_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("kg_entity_links")
+@_register(
+    "kg_entity_links",
+    oracle=f"""
+    WITH RECURSIVE
+    gl AS (
+      SELECT surface_a, surface_b
+      FROM read_parquet('{_KG}/golden_links/*.parquet')
+      WHERE same_entity
+    ),
+    -- normalize_surface (functions/__init__.py:11-26) restated in SQL:
+    -- lower/trim -> drop leading article -> reorder "Last, First" ->
+    -- strip periods -> collapse whitespace (DuckDB regexp_replace needs
+    -- the 'g' flag where Spark replaces all matches by default)
+    n1 AS (
+      SELECT lower(trim(surface_a)) AS sa, lower(trim(surface_b)) AS sb FROM gl
+    ),
+    n2 AS (
+      SELECT regexp_replace(sa, '^the ', '') AS sa,
+             regexp_replace(sb, '^the ', '') AS sb FROM n1
+    ),
+    n3 AS (
+      SELECT CASE WHEN contains(sa, ', ')
+                  THEN regexp_extract(sa, '(?:.*, )(.*)$', 1) || ' ' ||
+                       regexp_replace(sa, ', .*$', '')
+                  ELSE sa END AS sa,
+             CASE WHEN contains(sb, ', ')
+                  THEN regexp_extract(sb, '(?:.*, )(.*)$', 1) || ' ' ||
+                       regexp_replace(sb, ', .*$', '')
+                  ELSE sb END AS sb
+      FROM n2
+    ),
+    norm AS (
+      SELECT trim(regexp_replace(regexp_replace(sa, '\\.', '', 'g'), ' +', ' ', 'g')) AS a,
+             trim(regexp_replace(regexp_replace(sb, '\\.', '', 'g'), ' +', ' ', 'g')) AS b
+      FROM n3
+    ),
+    edges AS (
+      SELECT a AS src, b AS dst FROM norm WHERE a <> b
+      UNION
+      SELECT b, a FROM norm WHERE a <> b
+    ),
+    reach(node, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT reach.node, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+    ),
+    comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT x.node AS a, y.node AS b
+    FROM comp x JOIN comp y ON x.cluster_id = y.cluster_id AND x.node < y.node
+    ORDER BY a, b
+    """,
+)
 def kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Accepted linking pairs (LSH blocking + scoring), highest first."""
-    from pdfmef_spark.operators import extract, linking, triples as triples_op
+    """Linking decided end-to-end against golden truth: pairs of golden
+    surfaces the engine places in the SAME entity cluster after
+    blocking -> Arrow-batched pair scoring -> threshold -> connected
+    components. The greedy Python pair scorer itself is not
+    SQL-expressible, but its effect on the labeled surfaces IS: the
+    oracle computes the transitive closure of `golden_links WHERE
+    same_entity` (recursive CTE, the dedup_collapse_clusters pattern)
+    over the same surface normalization — so precision (no cross-entity
+    merge, including via transitive bridges through corpus surfaces)
+    and recall (every alias pair clustered) are both hash-checked, the
+    last catalog entry to gain a full oracle."""
+    from pdfmef_spark.functions import normalize_surface
+    from pdfmef_spark.operators import components, extract, linking, triples as triples_op
     from pdfmef_spark.sources import store
 
-    pages = store.read_pages(spark, _sf(sf_dir))
+    sf = _sf(sf_dir)
+    pages = store.read_pages(spark, sf)
     trip = triples_op.extract_triples(extract.extract_pages(pages))
     mentions = triples_op.mentions_from_triples(trip)
-    return linking.link_entities(mentions).orderBy(F.desc("score"), "src", "dst")
+    keys = linking.surface_keys(mentions)
+    links = linking.link_entities(mentions)
+    assign = components.assign_components(keys, links)
+
+    gl = store.read_golden(spark, sf, "golden_links")
+    surf = (
+        gl.select(normalize_surface(F.col("surface_a")).alias("norm"))
+        .union(gl.select(normalize_surface(F.col("surface_b")).alias("norm")))
+        .distinct()
+    )
+    # restrict cluster membership to the labeled surfaces (broadcast —
+    # the label set is tiny next to the corpus vocabulary)
+    labeled = assign.join(F.broadcast(surf), "norm").select("norm", "component").distinct()
+    x, y = labeled.alias("x"), labeled.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.component") == F.col("y.component"))
+            & (F.col("x.norm") < F.col("y.norm")),
+        )
+        .select(F.col("x.norm").alias("a"), F.col("y.norm").alias("b"))
+        .distinct()
+        .orderBy("a", "b")
+    )
 
 
 # ---------------------------------------------------------------------------
