@@ -18,6 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 def _observed_cap_filter(df: DataFrame, size_col: str, cap: int, cap_obs) -> DataFrame:
@@ -283,6 +284,35 @@ def cosine_sim(vec_a, vec_b):
     return dot / (na * nb)
 
 
+def _lsh_table_keys_udf(tables):
+    """Sign-LSH bucket keys for ALL tables at once: one Arrow-batch BLAS
+    matmul against the (n_tables * n_planes, dim) hyperplane matrix,
+    sign bits packed into one long per table. Replaces n_tables *
+    n_planes unrolled aggregate(zip_with(...)) expressions, each
+    embedding its hyperplane as a literal array — the same
+    codegen-blowup family as the unrolled IVF assignment; this shape
+    compiles and runs identically whether n_planes * n_tables is 48 or
+    4096 (the nearest_centroid_udf discipline, similarity.py:82-95)."""
+    import numpy as np
+
+    n_tables, n_planes, dim = tables.shape
+    p_t = np.ascontiguousarray(
+        tables.reshape(n_tables * n_planes, dim).astype(np.float64).T
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def keys(v: pd.Series) -> pd.Series:
+        x = np.array(v.tolist(), dtype=np.float64)
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        bits = (x @ p_t) > 0  # (batch, n_tables * n_planes)
+        packed = bits.reshape(len(x), n_tables, n_planes).astype(np.int64) @ weights
+        return pd.Series(packed.tolist())
+
+    return keys
+
+
 def embedding_dup_pairs(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.95, n_planes: int = 16, n_tables: int = 4,
@@ -300,27 +330,8 @@ def embedding_dup_pairs(
     tables = rng.standard_normal((n_tables, n_planes, dim))
 
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    keyed = base
-    key_cols = []
-    for t in range(n_tables):
-        bits = []
-        for p in range(n_planes):
-            plane = tables[t, p]
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col("v"),
-                    F.array(*[F.lit(float(x)) for x in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0).cast("double"),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
-        keyed = keyed.withColumn(f"k{t}", F.concat_ws("", *bits))
-        key_cols.append(f"k{t}")
-    buckets = keyed.select(
-        "id", "v", F.posexplode(F.array(*[F.col(c) for c in key_cols])).alias("tbl", "key")
-    )
+    keyed = base.withColumn("ks", _lsh_table_keys_udf(tables)(F.col("v")))
+    buckets = keyed.select("id", "v", F.posexplode("ks").alias("tbl", "key"))
     w = W.partitionBy("tbl", "key")
     buckets = _observed_cap_filter(
         buckets.withColumn("bsize", F.count("*").over(w)), "bsize", bucket_cap, cap_obs
