@@ -60,6 +60,7 @@ def main() -> None:
         "dedup_exact_documents",
         "events_daily",
         "doc_token_stats",
+        "kg_pagerank",
     ]:
         fn = Q.catalog().get(name)
         if fn is None:
@@ -115,6 +116,21 @@ def main() -> None:
             "edges": n_edges,
             "nodes": n_nodes,
             "components": n_comp,
+            "sec": round(time.time() - t0, 3),
+        }
+
+        # iterative-join PageRank on the same 1.2M-edge graph — the
+        # 100 TB graph-analytics path (algebraic partials absorb hub
+        # fan-in; ranks localCheckpoint every 5 iterations)
+        from pdfmef_spark.operators import pagerank as pr_op
+
+        t0 = time.time()
+        ranks = pr_op.pagerank(g, iterations=5)
+        top_pr = ranks.orderBy(F.desc("pr")).limit(1).collect()[0].pr
+        out["pagerank_distributed"] = {
+            "edges": n_edges,
+            "iterations": 5,
+            "top_rank": round(top_pr, 8),
             "sec": round(time.time() - t0, 3),
         }
 

@@ -1,0 +1,152 @@
+"""Fixed-iteration PageRank over the citation graph (iterative joins).
+
+The reference materializes the citation graph but never ranks it
+(bin/buildXML.pl:53-64 merges per-doc citation XML; no analytics).
+A KG built from 10^12 web pages is consumed through exactly this kind
+of graph analytic — rank-by-citation is the canonical one — so the
+engine ships it as a first-class operator over the `edges` table.
+
+Deterministic cross-engine contract (what makes the DuckDB oracle a
+bit-exact hash check despite floating point): the two aggregation
+results per iteration — each node's in-contribution sum and the global
+dangling-rank sum — are rounded to ``round_dp`` decimals; every other
+arithmetic step is a fixed IEEE-754 expression tree evaluated over
+identical inputs, so any engine that follows the same tree produces
+bit-identical ranks regardless of its internal summation order.
+
+Scale design (10^12-edge citation graph, 1000 executors):
+
+* per-iteration cost = one keyed shuffle join (ranks -> edges on src)
+  plus one groupBy(dst) whose sum is algebraic, so map-side partial
+  aggregation absorbs hub fan-in (the `cites` hot-page skew) before
+  the shuffle; AQE skew-split handles the residual.
+* edges / degrees / node set are computed once and cached — the loop
+  reuses them; only the rank vector (O(nodes)) moves per iteration.
+* dangling mass is a 1-row aggregate broadcast back into the plan
+  (crossJoin of a broadcast singleton) — no collect(), no driver loop.
+* lineage: ranks localCheckpoint() every ``checkpoint_every``
+  iterations so a 30-iteration run doesn't hand Catalyst a nested
+  30-deep plan (the same discipline as connected components,
+  operators/components.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    round_dp: int = 9,
+    checkpoint_every: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """edges(src, dst) -> ranks(node, pr) after ``iterations`` steps.
+
+    r_{k+1}(v) = (1-d)/N + d * (contrib_k(v) + dang_k/N)
+      contrib_k(v) = round( sum_{(u,v) in E} r_k(u)/deg(u), round_dp )
+      dang_k       = round( sum_{deg(u)=0} r_k(u),          round_dp )
+
+    Duplicate (src, dst) pairs collapse first (the graph is simple);
+    r_0 = 1/N uniform. Ranks sum to ~1 every iteration (dangling mass
+    is redistributed, not dropped).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg")).cache()
+    n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))  # 1-row singleton
+
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", (F.lit(1.0).cast("double") / F.col("n")).alias("rank")
+    )
+
+    base = F.lit(1.0).cast("double") - F.lit(damping).cast("double")
+    d = F.lit(damping).cast("double")
+    for i in range(iterations):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.round(F.sum(F.col("rank") / F.col("deg")), round_dp).alias("contrib"))
+            .withColumnRenamed("dst", "node")
+        )
+        dang = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(
+                F.round(
+                    F.coalesce(F.sum("rank"), F.lit(0.0).cast("double")), round_dp
+                ).alias("dang")
+            )
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node",
+                (
+                    base / F.col("n")
+                    + d
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0).cast("double"))
+                        + F.col("dang") / F.col("n")
+                    )
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.col("rank").alias("pr"))
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, iterations: int = 3, damping: float = 0.85, round_dp: int = 9
+) -> str:
+    """The identical computation as ANSI SQL (DuckDB), iterations
+    unrolled into chained CTEs. ``edges_sql`` must yield (src, dst).
+
+    Every arithmetic step mirrors :func:`pagerank`'s expression tree
+    with explicit DOUBLE casts so DuckDB doesn't route literals through
+    DECIMAL — the hash gate then checks bit-identical doubles.
+    """
+    d = f"CAST({damping!r} AS DOUBLE)"
+    ctes = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd)",
+        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nd)",
+    ]
+    for k in range(1, iterations + 1):
+        p = f"r{k - 1}"
+        ctes.append(
+            f"""c{k} AS (
+              SELECT e.dst AS node, round(sum(r.rank / deg.deg), {round_dp}) AS contrib
+              FROM e JOIN {p} r ON e.src = r.node JOIN deg ON deg.src = e.src
+              GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""g{k} AS (
+              SELECT round(coalesce(sum(r.rank), CAST(0.0 AS DOUBLE)), {round_dp}) AS dang
+              FROM {p} r LEFT JOIN deg ON r.node = deg.src WHERE deg.src IS NULL)"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+              SELECT nd.node,
+                     (CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nn)
+                     + {d} * (coalesce(c.contrib, CAST(0.0 AS DOUBLE))
+                              + (SELECT dang FROM g{k}) / (SELECT n FROM nn)) AS rank
+              FROM nd LEFT JOIN c{k} c ON nd.node = c.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, rank AS pr FROM r{iterations} ORDER BY node"
+    )

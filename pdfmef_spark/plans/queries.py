@@ -1776,3 +1776,190 @@ def events_interval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph analytics over the materialized KG
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle() -> str:
+    from pdfmef_spark.operators.pagerank import pagerank_oracle_sql
+
+    edges = (
+        "SELECT DISTINCT subj AS src, obj AS dst "
+        f"FROM read_parquet('{_KG}/golden_triples/*.parquet') WHERE pred = 'cites'"
+    )
+    return pagerank_oracle_sql(edges, iterations=3, damping=0.85, round_dp=9)
+
+
+@_register("kg_pagerank", oracle=_pagerank_oracle())
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the live `cites` edge set (extract ->
+    triples -> filter -> iterative-join PageRank). Hash-oracled bit-
+    exactly: per-iteration aggregation results are rounded identically
+    on both sides, all other arithmetic is a fixed IEEE expression tree
+    (operators/pagerank.py). The graph-analytics surface the reference
+    never had over its materialized citation XML (bin/buildXML.pl)."""
+    from pdfmef_spark.operators import extract, pagerank as pr, triples as triples_op
+    from pdfmef_spark.sources import store
+
+    pages = store.read_pages(spark, _sf(sf_dir))
+    trip = triples_op.extract_triples(extract.extract_pages(pages))
+    cites = trip.filter(F.col("pred") == "cites").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return pr.pagerank(cites, iterations=3, damping=0.85, round_dp=9).orderBy("node")
+
+
+@_register(
+    "late_shipment_priorities",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def late_shipment_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a NON-equi term -> left-semi
+    join whose condition carries both the key equality and the outer-row
+    date comparison (Catalyst keeps the equality as the join key and the
+    date term as a post-join residual — no nested loop)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_register(
+    "promo_revenue_by_year",
+    oracle="""
+    SELECT CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY ship_year
+    ORDER BY ship_year
+    """,
+)
+def promo_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact x broadcast dim, conditional aggregation
+    ratio (two algebraic sums in ONE pass — no second scan for the
+    denominator)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("revenue"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+@_register(
+    "event_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.90), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT continuous percentiles (linear interpolation at rank
+    p*(n-1)) per group — the latency-SLO query shape. Spark's
+    `percentile` matches DuckDB's `quantile_cont` definition exactly, so
+    this is hash-oracled; at 100 TB swap in `percentile_approx`
+    (t-digest, single pass, no per-group sort buffer) and drop the
+    oracle to rows-only."""
+    e = _t(spark, sf_dir, "events")
+    aggs = [
+        F.round(F.percentile("value", F.lit(q)), 6).alias(f"p{int(q * 100)}")
+        for q in (0.25, 0.50, 0.90, 0.99)
+    ]
+    return e.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+@_register(
+    "kg_entity_cooccurrence",
+    oracle=f"""
+    WITH m AS (
+      SELECT DISTINCT url, surface
+      FROM read_parquet('{_KG}/golden_surfaces/*.parquet')
+      WHERE split_part(entity_key, ':', 1) = 'person'
+    )
+    SELECT a.surface AS s_a, b.surface AS s_b, count(*) AS n_docs
+    FROM m a JOIN m b ON a.url = b.url AND a.surface < b.surface
+    GROUP BY s_a, s_b
+    HAVING count(*) >= 2
+    ORDER BY n_docs DESC, s_a, s_b
+    LIMIT 50
+    """,
+)
+def kg_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity–doc–entity 2-hop motif: PERSON surfaces co-mentioned in a
+    document (the co-author-graph shape). Self-join keyed on url, so the
+    blow-up is bounded by per-doc mention count, never corpus size; the
+    pair aggregation is algebraic (map-side partials). At 10^12 docs the
+    same plan holds — the join key (url) is the corpus's natural
+    partitioner, so AQE coalesces and no node ever sees more than one
+    doc's quadratic."""
+    from pdfmef_spark.operators import extract, triples as triples_op
+    from pdfmef_spark.sources import store
+
+    pages = store.read_pages(spark, _sf(sf_dir))
+    trip = triples_op.extract_triples(extract.extract_pages(pages))
+    m = (
+        triples_op.mentions_from_triples(trip)
+        .filter(F.col("type") == "PERSON")
+        .select("url", "surface")
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.url") == F.col("b.url"))
+            & (F.col("a.surface") < F.col("b.surface")),
+        )
+        .groupBy(
+            F.col("a.surface").alias("s_a"), F.col("b.surface").alias("s_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "s_a", "s_b")
+        .limit(50)
+    )

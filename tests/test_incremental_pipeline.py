@@ -1,0 +1,67 @@
+"""Incremental KG update: delta-only extraction, full-graph equivalence.
+
+Contract (pipeline.run_pipeline_incremental): growing the corpus
+snapshot and running incrementally must (a) run the doc-local stages on
+ONLY the new urls, and (b) end with exactly the graph a from-scratch
+run over the full snapshot produces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdfmef_spark import pipeline as P
+
+
+def _graph_sets(run):
+    nodes = {
+        (r.entity_id, r.canonical, r.type, r.n_mentions)
+        for r in run.df("nodes").collect()
+    }
+    edges = {
+        (r.src, r.dst, r.pred, r.weight) for r in run.df("edges").collect()
+    }
+    return nodes, edges
+
+
+def _batch_rows(spark, out_dir, stage, batch_id):
+    return (
+        spark.read.parquet(f"{out_dir}/{stage}")
+        .filter(F.col("batch_id") == batch_id)
+        .count()
+    )
+
+
+def test_incremental_equals_full(spark, smoke_pages, tmp_path):
+    pages = smoke_pages
+    first = pages.filter(F.pmod(F.xxhash64("url"), F.lit(5)) != 0)
+    n_first, n_all = first.count(), pages.count()
+    n_delta = n_all - n_first
+    assert 0 < n_delta < n_all
+
+    inc_dir = str(tmp_path / "inc")
+    full_dir = str(tmp_path / "full")
+
+    # batch 0: initial load through the incremental path
+    P.run_pipeline_incremental(spark, first, inc_dir)
+    assert _batch_rows(spark, inc_dir, "extracted", 0) == n_first
+
+    # batch 1: the grown snapshot — only the delta is extracted
+    run_inc = P.run_pipeline_incremental(spark, pages, inc_dir)
+    assert _batch_rows(spark, inc_dir, "extracted", 1) == n_delta
+    assert (
+        spark.read.parquet(f"{inc_dir}/extracted").count() == n_all
+    )
+
+    run_full = P.run_pipeline(spark, pages, full_dir)
+    assert _graph_sets(run_inc) == _graph_sets(run_full)
+
+
+def test_incremental_noop_batch(spark, smoke_pages, tmp_path):
+    out = str(tmp_path / "inc")
+    P.run_pipeline_incremental(spark, smoke_pages, out)
+    before = spark.read.parquet(f"{out}/edges").count()
+    run2 = P.run_pipeline_incremental(spark, smoke_pages, out)
+    # no new urls: no stage recomputed, outputs untouched
+    assert all(not r.recomputed for r in run2.results.values())
+    assert run2.df("edges").count() == before
