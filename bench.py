@@ -121,7 +121,7 @@ def main() -> None:
 
         # iterative-join PageRank on the same 1.2M-edge graph — the
         # 100 TB graph-analytics path (algebraic partials absorb hub
-        # fan-in; ranks localCheckpoint every 5 iterations)
+        # fan-in; rank lineage truncated every iteration)
         from pdfmef_spark.operators import pagerank as pr_op
 
         t0 = time.time()

