@@ -1963,3 +1963,44 @@ def kg_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "s_a", "s_b")
         .limit(50)
     )
+
+
+def _triangle_oracle() -> str:
+    from pdfmef_spark.operators.triangles import triangles_oracle_sql
+
+    pairs = f"""
+      SELECT a.surface AS src, b.surface AS dst
+      FROM (SELECT DISTINCT url, surface
+            FROM read_parquet('{_KG}/golden_surfaces/*.parquet')
+            WHERE split_part(entity_key, ':', 1) = 'person') a
+      JOIN (SELECT DISTINCT url, surface
+            FROM read_parquet('{_KG}/golden_surfaces/*.parquet')
+            WHERE split_part(entity_key, ':', 1) = 'person') b
+        ON a.url = b.url AND a.surface < b.surface
+    """
+    return triangles_oracle_sql(pairs)
+
+
+@_register("kg_triangle_count", oracle=_triangle_oracle())
+def kg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the person co-mention graph (degree-oriented wedge
+    join, operators/triangles.py): the cohesion metric over the same
+    2-hop motif as kg_entity_cooccurrence. Integer-only — exact hash
+    oracle, no rounding contract."""
+    from pdfmef_spark.operators import extract, triangles as tri, triples as triples_op
+    from pdfmef_spark.sources import store
+
+    pages = store.read_pages(spark, _sf(sf_dir))
+    trip = triples_op.extract_triples(extract.extract_pages(pages))
+    m = (
+        triples_op.mentions_from_triples(trip)
+        .filter(F.col("type") == "PERSON")
+        .select("url", "surface")
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.url") == F.col("b.url")) & (F.col("a.surface") < F.col("b.surface")),
+    ).select(F.col("a.surface").alias("src"), F.col("b.surface").alias("dst"))
+    return tri.triangle_count(pairs)

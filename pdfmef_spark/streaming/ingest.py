@@ -73,3 +73,41 @@ def run_upload_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_kg_updates(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    cap_bytes: int = UPLOAD_CAP_BYTES,
+):
+    """Page drops -> incremental KG refresh, one batch per micro-batch.
+
+    foreachBatch hands each micro-batch to
+    :func:`pdfmef_spark.pipeline.run_pipeline_incremental`: doc-local
+    stages extract only the new urls into a fresh ``batch_id``
+    partition and the graph tail is rebuilt over the merged mentions.
+    Effectively-once stacks twice: the stream checkpoint deduplicates
+    FILES across restarts, and the pipeline's url ledger deduplicates
+    ROWS — a replayed micro-batch anti-joins to an empty delta and
+    becomes a no-op, so the graph never double-counts a page (the
+    streaming generalization of the reference's polling daemon,
+    src/extractor/main.py:139-176).
+    """
+    from pdfmef_spark import pipeline as P
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        P.run_pipeline_incremental(
+            spark, batch_df, out_dir, run_id=f"stream-{epoch_id}"
+        )
+
+    ok = (
+        gate_upload_size(read_page_uploads(spark, input_dir), cap_bytes)
+        .filter(F.col("upload_error").isNull())
+        .drop("upload_error")
+    )
+    writer = ok.writeStream.foreachBatch(_apply).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

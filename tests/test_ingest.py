@@ -110,3 +110,40 @@ def test_stream_triples_match_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_kg_updates_equal_batch_graph(spark, tmp_path):
+    """Drops -> incremental KG refresh == from-scratch pipeline; a
+    replayed drop is a ledger no-op (graph unchanged)."""
+    from pdfmef_spark import pipeline as P
+
+    pages = store.read_pages(spark, SF).limit(60).cache()
+    first = pages.limit(40)
+    rest = pages.subtract(first)
+    up_dir = str(tmp_path / "uploads3")
+    kg_dir = str(tmp_path / "kg_stream")
+    _drop(first, f"{up_dir}/drop1")
+    _drop(rest, f"{up_dir}/drop2")
+
+    q = ingest.run_streaming_kg_updates(spark, f"{up_dir}/*", kg_dir)
+    q.awaitTermination(180)
+
+    got = {
+        (r.src, r.dst, r.pred, r.weight)
+        for r in spark.read.parquet(f"{kg_dir}/edges").collect()
+    }
+    full = P.run_pipeline(spark, pages, str(tmp_path / "kg_full"))
+    want = {
+        (r.src, r.dst, r.pred, r.weight) for r in full.df("edges").collect()
+    }
+    assert got == want
+
+    # replay the same drops without a stream checkpoint: the url ledger
+    # anti-joins every row away -> graph identical
+    q2 = ingest.run_streaming_kg_updates(spark, f"{up_dir}/*", kg_dir)
+    q2.awaitTermination(180)
+    again = {
+        (r.src, r.dst, r.pred, r.weight)
+        for r in spark.read.parquet(f"{kg_dir}/edges").collect()
+    }
+    assert again == want
