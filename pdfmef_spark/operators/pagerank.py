@@ -22,6 +22,8 @@ Scale design (10^12-edge citation graph, 1000 executors):
   the shuffle; AQE skew-split handles the residual.
 * edges / degrees / node set are computed once and cached — the loop
   reuses them; only the rank vector (O(nodes)) moves per iteration.
+  The caches are released before returning (the final rank vector is
+  checkpointed first, so the returned DataFrame owns its own blocks).
 * dangling mass is a 1-row aggregate broadcast back into the plan
   (crossJoin of a broadcast singleton) — no collect(), no driver loop.
 * lineage: ranks localCheckpoint() every ``checkpoint_every``
@@ -110,7 +112,15 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.col("rank").alias("pr"))
+    out = ranks.select("node", F.col("rank").alias("pr"))
+    if checkpoint_every:
+        # materialize the final ranks so the cached edge/degree/node
+        # relations can be released — the returned DataFrame reads its
+        # own checkpoint blocks, not the loop's lineage
+        out = out.localCheckpoint(eager=True)
+        for df in (e, nodes, deg):
+            df.unpersist()
+    return out
 
 
 def pagerank_oracle_sql(

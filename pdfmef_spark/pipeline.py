@@ -313,6 +313,14 @@ def run_pipeline_incremental(
     from pdfmef_spark.streaming.incremental import Ledger
 
     os.makedirs(out_dir, exist_ok=True)
+    if os.path.exists(f"{out_dir}/extracted") and not os.path.exists(f"{out_dir}/ledger"):
+        # a run_pipeline output has flat stage dirs; appending hive
+        # batch_id partitions into them would leave an unreadable mixed
+        # layout — refuse instead of corrupting
+        raise ValueError(
+            f"{out_dir} holds a non-incremental pipeline output (no ledger); "
+            "incremental mode needs a fresh out_dir"
+        )
     ledger = Ledger(spark, f"{out_dir}/ledger", key="url")
     prev = ledger.read()
     batch_id = (prev.agg(F.coalesce(F.max("batch_id"), F.lit(-1))).first()[0] or 0) + 1

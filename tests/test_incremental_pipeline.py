@@ -8,6 +8,7 @@ run over the full snapshot produces.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pdfmef_spark import pipeline as P
@@ -65,3 +66,10 @@ def test_incremental_noop_batch(spark, smoke_pages, tmp_path):
     # no new urls: no stage recomputed, outputs untouched
     assert all(not r.recomputed for r in run2.results.values())
     assert run2.df("edges").count() == before
+
+
+def test_incremental_refuses_flat_layout_dir(spark, smoke_pages, tmp_path):
+    out = str(tmp_path / "flat")
+    P.run_pipeline(spark, smoke_pages.limit(30), out)
+    with pytest.raises(ValueError, match="fresh out_dir"):
+        P.run_pipeline_incremental(spark, smoke_pages, out)

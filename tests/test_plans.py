@@ -129,7 +129,9 @@ def test_pagerank_iteration_plan_shape(spark):
     edges = spark.createDataFrame(
         pd.DataFrame({"src": ["a", "b", "c"], "dst": ["b", "c", "a"]})
     )
-    plan = _plan(pagerank(edges, iterations=1))
+    # checkpoint_every=0 keeps the full lineage visible for inspection
+    # (the default eagerly checkpoints the result, leaving only a scan)
+    plan = _plan(pagerank(edges, iterations=1, checkpoint_every=0))
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
     # singleton cross joins ride broadcast, not shuffle

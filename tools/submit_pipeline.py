@@ -25,6 +25,11 @@ def main() -> None:
     ap.add_argument("--sf", type=float, default=0.01)
     ap.add_argument("--out", required=True)
     ap.add_argument("--run-id", default=None)
+    ap.add_argument(
+        "--incremental", action="store_true",
+        help="ledger-gated delta run (pipeline.run_pipeline_incremental): "
+        "re-submitting with a grown corpus extracts only new urls",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -38,7 +43,8 @@ def main() -> None:
     pages = store.read_pages(spark, args.sf)
     n = pages.count()
     t0 = time.time()
-    run = P.run_pipeline(spark, pages, args.out, run_id=args.run_id)
+    runner = P.run_pipeline_incremental if args.incremental else P.run_pipeline
+    run = runner(spark, pages, args.out, run_id=args.run_id)
     dt = time.time() - t0
     print(
         "PIPELINE_RESULT "
