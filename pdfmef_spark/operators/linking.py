@@ -234,8 +234,17 @@ def score_pairs(pairs: DataFrame, threshold: float = 0.70) -> DataFrame:
 
 
 def link_entities(
-    mentions: DataFrame, threshold: float = 0.70, cap_obs=None
+    mentions: DataFrame, threshold: float = 0.70, cap_obs=None,
+    keys: DataFrame | None = None,
 ) -> DataFrame:
-    """mentions -> LINKS over normalized surface keys (per type)."""
-    keys = surface_keys(mentions)
+    """mentions -> LINKS over normalized surface keys (per type).
+
+    Pass ``keys`` when the caller already holds (and persisted) the
+    surface vocabulary: computing it is a full shuffle over the
+    mentions table, and the pipeline needs the same vocabulary again
+    for component assignment and graph materialization — recomputing
+    it inside the links stage would pay that shuffle twice per run.
+    """
+    if keys is None:
+        keys = surface_keys(mentions)
     return score_pairs(candidate_pairs(keys, cap_obs=cap_obs), threshold)

@@ -249,19 +249,20 @@ def run_pipeline(
     # drop counters on the links write job and store them in the manifest
     from pyspark.sql import Observation
 
-    cap_obs = Observation(f"links_caps_{run_id}")
-    links = stage(
-        "links",
-        lambda: linking.link_entities(mentions, link_threshold, cap_obs=cap_obs),
-        extra_obs=cap_obs,
-    )
-
     # keys is the distinct-surface vocabulary — tiny next to mentions,
     # but computing it is a full shuffle over the mentions table, and
-    # THREE downstream write jobs (assignments, nodes, edges) embed it
-    # in their plans. persist() computes that shuffle once.
+    # FOUR downstream write jobs (links, assignments, nodes, edges)
+    # embed it in their plans. persist() computes that shuffle once.
     keys = linking.surface_keys(mentions).persist()
+    cap_obs = Observation(f"links_caps_{run_id}")
     try:
+        links = stage(
+            "links",
+            lambda: linking.link_entities(
+                mentions, link_threshold, cap_obs=cap_obs, keys=keys
+            ),
+            extra_obs=cap_obs,
+        )
         assignments = stage(
             "assignments", lambda: components.assign_components(keys, links)
         )
@@ -378,9 +379,12 @@ def run_pipeline_incremental(
         )
         return df
 
-    links = tail_stage("links", lambda: linking.link_entities(ment_full, link_threshold))
     keys = linking.surface_keys(ment_full).persist()
     try:
+        links = tail_stage(
+            "links",
+            lambda: linking.link_entities(ment_full, link_threshold, keys=keys),
+        )
         assignments = tail_stage(
             "assignments", lambda: components.assign_components(keys, links)
         )
