@@ -234,7 +234,7 @@ def score_pairs(pairs: DataFrame, threshold: float = 0.70) -> DataFrame:
 
 
 def link_entities(
-    mentions: DataFrame, threshold: float = 0.70, cap_obs=None,
+    mentions: DataFrame | None = None, threshold: float = 0.70, cap_obs=None,
     keys: DataFrame | None = None,
 ) -> DataFrame:
     """mentions -> LINKS over normalized surface keys (per type).
@@ -244,7 +244,11 @@ def link_entities(
     mentions table, and the pipeline needs the same vocabulary again
     for component assignment and graph materialization — recomputing
     it inside the links stage would pay that shuffle twice per run.
+    (The incremental pipeline passes keys ONLY — its vocabulary is the
+    sum of per-batch deltas, never a historical-mentions scan.)
     """
     if keys is None:
+        if mentions is None:
+            raise ValueError("link_entities needs mentions or keys")
         keys = surface_keys(mentions)
     return score_pairs(candidate_pairs(keys, cap_obs=cap_obs), threshold)

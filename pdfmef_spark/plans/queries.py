@@ -2004,3 +2004,104 @@ def kg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.url") == F.col("b.url")) & (F.col("a.surface") < F.col("b.surface")),
     ).select(F.col("a.surface").alias("src"), F.col("b.surface").alias("dst"))
     return tri.triangle_count(pairs)
+
+
+@_register(
+    "big_order_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_name, o.o_orderkey,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           round(o.o_totalprice, 2) AS total_price, big.sum_qty
+    FROM big
+      JOIN orders o   ON o.o_orderkey = big.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_price DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a fact aggregate, then join BACK to
+    the dimension tables. The aggregate runs first and shrinks the fact
+    side to the qualifying keys, so both join probes are against a
+    few-hundred-row relation (broadcast) — never fact x fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 250)
+        .select("l_orderkey", F.col("raw_qty").cast("bigint").alias("sum_qty"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@_register(
+    "order_rank_functions",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_band,
+             row_number() OVER ord_total AS rn,
+             CAST(rank()       OVER ord_band AS BIGINT) AS rnk,
+             CAST(dense_rank() OVER ord_band AS BIGINT) AS drnk,
+             round(percent_rank() OVER ord_band, 6) AS prank,
+             round(cume_dist()    OVER ord_band, 6) AS cdist,
+             CAST(ntile(4) OVER ord_total AS BIGINT) AS quartile
+      FROM orders
+      WINDOW
+        ord_band  AS (PARTITION BY o_orderpriority
+                      ORDER BY floor(o_totalprice / 50000) DESC),
+        ord_total AS (PARTITION BY o_orderpriority
+                      ORDER BY floor(o_totalprice / 50000) DESC, o_orderkey)
+    )
+    SELECT o_orderpriority, o_orderkey, price_band, rnk, drnk, prank, cdist, quartile
+    FROM w WHERE rn <= 20
+    ORDER BY o_orderpriority, o_orderkey
+    """,
+)
+def order_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family in one window pass: rank /
+    dense_rank / percent_rank / cume_dist over a TIED ordering (coarse
+    price bands — all four are tie-deterministic), ntile + row_number
+    over the tie-broken total ordering (ntile is order-sensitive, so
+    its window must be a total order to be engine-portable)."""
+    o = _t(spark, sf_dir, "orders")
+    band = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    w_band = W.partitionBy("o_orderpriority").orderBy(F.desc("price_band"))
+    w_total = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("price_band"), "o_orderkey"
+    )
+    return (
+        o.withColumn("price_band", band)
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            "price_band",
+            F.row_number().over(w_total).alias("rn"),
+            F.rank().over(w_band).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w_band).cast("bigint").alias("drnk"),
+            F.round(F.percent_rank().over(w_band), 6).alias("prank"),
+            F.round(F.cume_dist().over(w_band), 6).alias("cdist"),
+            F.ntile(4).over(w_total).cast("bigint").alias("quartile"),
+        )
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+        .orderBy("o_orderpriority", "o_orderkey")
+    )

@@ -73,3 +73,33 @@ def test_incremental_refuses_flat_layout_dir(spark, smoke_pages, tmp_path):
     P.run_pipeline(spark, smoke_pages.limit(30), out)
     with pytest.raises(ValueError, match="fresh out_dir"):
         P.run_pipeline_incremental(spark, smoke_pages, out)
+
+
+def test_vocabulary_from_batch_deltas_equals_full(spark, smoke_pages, tmp_path):
+    """The summed per-batch surface deltas must equal the vocabulary a
+    full mentions scan produces — the invariant that lets the
+    incremental tail skip historical mentions entirely."""
+    from pdfmef_spark.operators import extract, linking, triples as T
+
+    pages = smoke_pages
+    first = pages.filter(F.pmod(F.xxhash64("url"), F.lit(3)) != 0)
+    out = str(tmp_path / "inc")
+    P.run_pipeline_incremental(spark, first, out)
+    P.run_pipeline_incremental(spark, pages, out)
+
+    merged = {
+        (r.type, r.norm, r.surface, r.freq)
+        for r in (
+            spark.read.parquet(f"{out}/surfaces")
+            .groupBy("type", "norm", "surface")
+            .agg(F.sum("freq").alias("freq"))
+            .collect()
+        )
+    }
+    full = {
+        (r.type, r.norm, r.surface, r.freq)
+        for r in linking.surface_keys(
+            T.mentions_from_triples(T.extract_triples(extract.extract_pages(pages)))
+        ).collect()
+    }
+    assert merged == full
