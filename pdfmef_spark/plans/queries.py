@@ -2105,3 +2105,88 @@ def order_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("o_orderpriority", "o_orderkey")
     )
+
+
+@_register(
+    "disjunctive_brand_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs predicate spanning both join
+    sides. Catalyst splits it: the part-only disjuncts (brand+size)
+    prune the broadcast side at its scan, the cross-side conjuncts stay
+    as the join residual — a single broadcast hash join, no
+    fact-per-disjunct rescan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+
+
+def _clustering_oracle() -> str:
+    from pdfmef_spark.operators.triangles import node_clustering_oracle_sql
+
+    pairs = f"""
+      SELECT a.surface AS src, b.surface AS dst
+      FROM (SELECT DISTINCT url, surface
+            FROM read_parquet('{_KG}/golden_surfaces/*.parquet')
+            WHERE split_part(entity_key, ':', 1) = 'person') a
+      JOIN (SELECT DISTINCT url, surface
+            FROM read_parquet('{_KG}/golden_surfaces/*.parquet')
+            WHERE split_part(entity_key, ':', 1) = 'person') b
+        ON a.url = b.url AND a.surface < b.surface
+    """
+    return f"SELECT * FROM ({node_clustering_oracle_sql(pairs)}) ORDER BY node"
+
+
+@_register("kg_clustering_coefficients", oracle=_clustering_oracle())
+def kg_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of every person in the co-mention
+    graph (triangle corners exploded / degree pairs) — how clique-like
+    each entity's neighborhood is. Exact hash oracle: integer counts +
+    one identically-rounded division."""
+    from pdfmef_spark.operators import extract, triangles as tri, triples as triples_op
+    from pdfmef_spark.sources import store
+
+    pages = store.read_pages(spark, _sf(sf_dir))
+    trip = triples_op.extract_triples(extract.extract_pages(pages))
+    m = (
+        triples_op.mentions_from_triples(trip)
+        .filter(F.col("type") == "PERSON")
+        .select("url", "surface")
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.url") == F.col("b.url")) & (F.col("a.surface") < F.col("b.surface")),
+    ).select(F.col("a.surface").alias("src"), F.col("b.surface").alias("dst"))
+    return tri.node_clustering(pairs).orderBy("node")

@@ -58,3 +58,25 @@ def test_hub_clique_with_pendant_spokes(spark):
     e = pd.DataFrame(clique + spokes, columns=["src", "dst"])
     got = triangle_count(spark.createDataFrame(e)).collect()[0].n_triangles
     assert got == 12 * 11 * 10 // 6
+
+
+def test_node_clustering_matches_bruteforce(spark):
+    from pdfmef_spark.operators.triangles import node_clustering
+
+    edges = _random_graph(30, 140, seed=11)
+    adj: dict[str, set[str]] = {}
+    for s, d in edges.itertuples(index=False):
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    got = {
+        r.node: (r.degree, r.n_tri, r.coef)
+        for r in node_clustering(spark.createDataFrame(edges)).collect()
+    }
+    for v, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            assert v not in got
+            continue
+        t = sum(1 for p, q in itertools.combinations(sorted(nb), 2) if q in adj[p])
+        coef = round(2.0 * t / (d * (d - 1)), 6)
+        assert got[v] == (d, t, pytest.approx(coef, abs=1e-9)), v
