@@ -2190,3 +2190,68 @@ def kg_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a.url") == F.col("b.url")) & (F.col("a.surface") < F.col("b.surface")),
     ).select(F.col("a.surface").alias("src"), F.col("b.surface").alias("dst"))
     return tri.node_clustering(pairs).orderBy("node")
+
+
+@_register(
+    "doc_deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+       OR (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2', '3'))
+    ORDER BY doc_id
+    """,
+)
+def doc_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (seed-free, engine-portable) sampling: membership
+    is a pure function of the row key's md5, so the same eval split
+    falls out on ANY engine, any partitioning, any rerun — unlike
+    sample()/TABLESAMPLE, whose RNG is engine- and split-dependent.
+    Stratified by giving a stratum (here 'de') a wider hash-prefix
+    window. This is how a 100 TB pipeline pins holdout sets: the
+    sample is a pushed-down filter, never a shuffle or a seed."""
+    d = _t(spark, sf_dir, "documents")
+    first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        d.filter(
+            first.isin("0", "1")
+            | ((F.col("lang") == "de") & first.isin("2", "3"))
+        )
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "event_value_histogram",
+    oracle="""
+    -- DuckDB has no width_bucket; this is Spark's exact algorithm:
+    -- floor((v - lo) / ((hi - lo) / n)) + 1, clamped to 0 / n+1
+    SELECT CASE WHEN value < 0 THEN 0
+                WHEN value >= 250 THEN 26
+                ELSE CAST(floor(value / ((CAST(250 AS DOUBLE) - 0) / 25)) AS BIGINT) + 1
+           END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket — one algebraic pass
+    (count+sum per bucket, map-side partials), the profile query run
+    before choosing dedup/quality thresholds at corpus scale."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.width_bucket("value", F.lit(0), F.lit(250), F.lit(25))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
