@@ -51,25 +51,42 @@ def pagerank(
     checkpoint_every: int = 1,
     src: str = "src",
     dst: str = "dst",
+    weight: str | None = None,
 ) -> DataFrame:
-    """edges(src, dst) -> ranks(node, pr) after ``iterations`` steps.
+    """edges(src, dst[, weight]) -> ranks(node, pr) after ``iterations``.
 
     r_{k+1}(v) = (1-d)/N + d * (contrib_k(v) + dang_k/N)
-      contrib_k(v) = round( sum_{(u,v) in E} r_k(u)/deg(u), round_dp )
-      dang_k       = round( sum_{deg(u)=0} r_k(u),          round_dp )
+      contrib_k(v) = round( sum_{(u,v) in E} r_k(u)*w/str(u), round_dp )
+      dang_k       = round( sum_{str(u)=0} r_k(u),            round_dp )
 
-    Duplicate (src, dst) pairs collapse first (the graph is simple);
-    r_0 = 1/N uniform. Ranks sum to ~1 every iteration (dangling mass
-    is redistributed, not dropped).
+    Unweighted (``weight=None``): duplicate (src, dst) pairs collapse
+    first and str(u) = out-degree. Weighted: ``weight`` must be an
+    INTEGER-valued column (edge multiplicities / doc counts) — integer
+    doubles sum exactly, so the out-strength is order-independent and
+    the cross-engine bit-exactness contract still holds. r_0 = 1/N
+    uniform; ranks sum to ~1 every iteration (dangling mass is
+    redistributed, not dropped).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().cache()
+    if weight is None:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .distinct()
+            .withColumn("w", F.lit(1.0).cast("double"))
+            .cache()
+        )
+    else:
+        e = edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("w"),
+        ).cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .cache()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg")).cache()
+    deg = e.groupBy("src").agg(F.sum("w").alias("deg")).cache()
     n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))  # 1-row singleton
 
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
@@ -83,7 +100,14 @@ def pagerank(
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
             .groupBy("dst")
-            .agg(F.round(F.sum(F.col("rank") / F.col("deg")), round_dp).alias("contrib"))
+            .agg(
+                # for w == 1.0 this is bit-identical to rank/deg
+                # (IEEE multiply by 1.0 is exact), so the unweighted
+                # oracle contract is unchanged
+                F.round(
+                    F.sum(F.col("rank") * F.col("w") / F.col("deg")), round_dp
+                ).alias("contrib")
+            )
             .withColumnRenamed("dst", "node")
         )
         dang = (
@@ -124,28 +148,38 @@ def pagerank(
 
 
 def pagerank_oracle_sql(
-    edges_sql: str, iterations: int = 3, damping: float = 0.85, round_dp: int = 9
+    edges_sql: str, iterations: int = 3, damping: float = 0.85, round_dp: int = 9,
+    weighted: bool = False,
 ) -> str:
     """The identical computation as ANSI SQL (DuckDB), iterations
-    unrolled into chained CTEs. ``edges_sql`` must yield (src, dst).
+    unrolled into chained CTEs. ``edges_sql`` must yield (src, dst) —
+    plus an integer-valued ``w`` when ``weighted``.
 
     Every arithmetic step mirrors :func:`pagerank`'s expression tree
     with explicit DOUBLE casts so DuckDB doesn't route literals through
     DECIMAL — the hash gate then checks bit-identical doubles.
     """
     d = f"CAST({damping!r} AS DOUBLE)"
+    if weighted:
+        e_cte = f"e AS (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM ({edges_sql}))"
+        deg_cte = "deg AS (SELECT src, sum(w) AS deg FROM e GROUP BY src)"
+        term = "r.rank * e.w / deg.deg"
+    else:
+        e_cte = f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))"
+        deg_cte = "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src)"
+        term = "r.rank / deg.deg"
     ctes = [
-        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        e_cte,
         "nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd)",
-        "deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src)",
+        deg_cte,
         "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nd)",
     ]
     for k in range(1, iterations + 1):
         p = f"r{k - 1}"
         ctes.append(
             f"""c{k} AS (
-              SELECT e.dst AS node, round(sum(r.rank / deg.deg), {round_dp}) AS contrib
+              SELECT e.dst AS node, round(sum({term}), {round_dp}) AS contrib
               FROM e JOIN {p} r ON e.src = r.node JOIN deg ON deg.src = e.src
               GROUP BY e.dst)"""
         )

@@ -2255,3 +2255,57 @@ def event_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _pagerank_weighted_oracle() -> str:
+    from pdfmef_spark.operators.pagerank import pagerank_oracle_sql
+
+    edges = f"""
+      WITH m AS (
+        SELECT DISTINCT url, surface
+        FROM read_parquet('{_KG}/golden_surfaces/*.parquet')
+        WHERE split_part(entity_key, ':', 1) = 'person'
+      ),
+      p AS (
+        SELECT a.surface AS s_a, b.surface AS s_b, count(*) AS w
+        FROM m a JOIN m b ON a.url = b.url AND a.surface < b.surface
+        GROUP BY s_a, s_b
+      )
+      SELECT s_a AS src, s_b AS dst, w FROM p
+      UNION ALL
+      SELECT s_b AS src, s_a AS dst, w FROM p
+    """
+    return pagerank_oracle_sql(edges, iterations=3, round_dp=9, weighted=True)
+
+
+@_register("kg_pagerank_weighted", oracle=_pagerank_weighted_oracle())
+def kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-mention-weighted PageRank over the (symmetrized) person
+    graph: edge weight = number of shared docs, out-strength = weight
+    sum. Integer weights keep the bit-exact cross-engine contract
+    (operators/pagerank.py)."""
+    from pdfmef_spark.operators import extract, pagerank as pr, triples as triples_op
+    from pdfmef_spark.sources import store
+
+    pages = store.read_pages(spark, _sf(sf_dir))
+    trip = triples_op.extract_triples(extract.extract_pages(pages))
+    m = (
+        triples_op.mentions_from_triples(trip)
+        .filter(F.col("type") == "PERSON")
+        .select("url", "surface")
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.url") == F.col("b.url"))
+            & (F.col("a.surface") < F.col("b.surface")),
+        )
+        .groupBy(F.col("a.surface").alias("s_a"), F.col("b.surface").alias("s_b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = p.select(
+        F.col("s_a").alias("src"), F.col("s_b").alias("dst"), "w"
+    ).unionAll(p.select(F.col("s_b").alias("src"), F.col("s_a").alias("dst"), "w"))
+    return pr.pagerank(edges, iterations=3, round_dp=9, weight="w").orderBy("node")

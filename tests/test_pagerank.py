@@ -98,3 +98,65 @@ def test_checkpoint_path_equivalent(spark, edges_pd):
     a = {r.node: r.pr for r in pagerank(df, iterations=6, checkpoint_every=2).collect()}
     b = {r.node: r.pr for r in pagerank(df, iterations=6, checkpoint_every=0).collect()}
     assert a == b
+
+
+def test_weighted_matches_numpy(spark):
+    rng = random.Random(21)
+    rows = [
+        (f"n{rng.randrange(40)}", f"n{rng.randrange(40)}", rng.randrange(1, 6))
+        for _ in range(150)
+    ]
+    edges = pd.DataFrame(rows, columns=["src", "dst", "w"]).groupby(
+        ["src", "dst"], as_index=False
+    )["w"].sum()
+
+    nodes = sorted(set(edges.src) | set(edges.dst))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    strength = edges.groupby("src")["w"].sum().to_dict()
+    r = np.full(n, 1.0 / n)
+    for _ in range(ITERS):
+        contrib = np.zeros(n)
+        for s, d_, w in edges.itertuples(index=False):
+            contrib[idx[d_]] += r[idx[s]] * w / strength[s]
+        contrib = np.round(contrib, DP)
+        dang = round(sum(r[idx[v]] for v in nodes if v not in strength), DP)
+        r = (1.0 - DAMP) / n + DAMP * (contrib + dang / n)
+    want = {v: r[idx[v]] for v in nodes}
+
+    got = {
+        row.node: row.pr
+        for row in pagerank(
+            spark.createDataFrame(edges),
+            iterations=ITERS, damping=DAMP, round_dp=DP, weight="w",
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_weighted_duckdb_bit_parity(spark, tmp_path):
+    rng = random.Random(33)
+    rows = [
+        (f"n{rng.randrange(30)}", f"n{rng.randrange(30)}", rng.randrange(1, 5))
+        for _ in range(100)
+    ]
+    edges = pd.DataFrame(rows, columns=["src", "dst", "w"]).groupby(
+        ["src", "dst"], as_index=False
+    )["w"].sum()
+    path = str(tmp_path / "wedges.parquet")
+    edges.to_parquet(path)
+    sql = pagerank_oracle_sql(
+        f"SELECT src, dst, w FROM read_parquet('{path}')",
+        iterations=ITERS, damping=DAMP, round_dp=DP, weighted=True,
+    )
+    oracle = {r[0]: r[1] for r in duckdb.connect().execute(sql).fetchall()}
+    got = {
+        r.node: r.pr
+        for r in pagerank(
+            spark.createDataFrame(edges),
+            iterations=ITERS, damping=DAMP, round_dp=DP, weight="w",
+        ).collect()
+    }
+    assert got == oracle
