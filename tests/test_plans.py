@@ -136,3 +136,32 @@ def test_pagerank_iteration_plan_shape(spark):
     assert "CartesianProduct" not in plan
     # singleton cross joins ride broadcast, not shuffle
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q19_disjunction_pushed_to_dim_scan(spark):
+    """The OR-of-ANDs predicate must split: part-only disjuncts reach
+    the part scan as a pushed Or filter; the join stays a single
+    broadcast hash join (no per-disjunct union of fact scans)."""
+    df = Q.catalog()["disjunctive_brand_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") == 1
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l and "p_brand" in l]
+    assert scan_lines and "Or(" in scan_lines[0]
+
+
+def test_q18_join_back_broadcasts_aggregate(spark):
+    """The HAVING-filtered aggregate (a few hundred keys) must be the
+    broadcast side of the join back to orders."""
+    plan = _plan(Q.catalog()["big_order_customers"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_deterministic_sample_is_pushed_scan_filter(spark):
+    """Sampling must be a filter over the scan — no shuffle, no sample
+    operator (the plan a 100 TB holdout split needs)."""
+    plan = _plan(Q.catalog()["doc_deterministic_sample"](spark, SF_DIR))
+    assert "Sample" not in plan
+    assert "Filter" in plan
+    # the only exchange allowed is the final presentation orderBy
+    assert plan.count("Exchange rangepartitioning") <= 1
+    assert "Exchange hashpartitioning" not in plan
