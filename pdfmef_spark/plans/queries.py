@@ -2309,3 +2309,52 @@ def kg_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_a").alias("src"), F.col("s_b").alias("dst"), "w"
     ).unionAll(p.select(F.col("s_b").alias("src"), F.col("s_a").alias("dst"), "w"))
     return pr.pagerank(edges, iterations=3, round_dp=9, weight="w").orderBy("node")
+
+
+def _reach_oracle() -> str:
+    from pdfmef_spark.operators.reach import two_hop_reach_oracle_sql
+
+    pairs = f"""
+      SELECT a.surface AS src, b.surface AS dst
+      FROM (SELECT DISTINCT url, surface
+            FROM read_parquet('{_KG}/golden_surfaces/*.parquet')
+            WHERE split_part(entity_key, ':', 1) = 'person') a
+      JOIN (SELECT DISTINCT url, surface
+            FROM read_parquet('{_KG}/golden_surfaces/*.parquet')
+            WHERE split_part(entity_key, ':', 1) = 'person') b
+        ON a.url = b.url AND a.surface < b.surface
+    """
+    inner = two_hop_reach_oracle_sql(pairs, hub_cap=40)
+    return (
+        f"SELECT * FROM ({inner}) ORDER BY reach2 DESC, node LIMIT 100"
+    )
+
+
+@_register("kg_two_hop_reach", oracle=_reach_oracle())
+def kg_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-capped 2-hop reach over the person co-mention graph: the
+    influence-radius query, in its production shape — intermediate
+    nodes with degree > 40 are not expanded, and the oracle restates
+    the cap, so the driver checks the capped path itself (the same
+    discipline as ngram_jaccard_dedup_capped)."""
+    from pdfmef_spark.operators import extract, reach, triples as triples_op
+    from pdfmef_spark.sources import store
+
+    pages = store.read_pages(spark, _sf(sf_dir))
+    trip = triples_op.extract_triples(extract.extract_pages(pages))
+    m = (
+        triples_op.mentions_from_triples(trip)
+        .filter(F.col("type") == "PERSON")
+        .select("url", "surface")
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.url") == F.col("b.url")) & (F.col("a.surface") < F.col("b.surface")),
+    ).select(F.col("a.surface").alias("src"), F.col("b.surface").alias("dst"))
+    return (
+        reach.two_hop_reach(pairs, hub_cap=40)
+        .orderBy(F.desc("reach2"), "node")
+        .limit(100)
+    )

@@ -80,3 +80,30 @@ def test_node_clustering_matches_bruteforce(spark):
         t = sum(1 for p, q in itertools.combinations(sorted(nb), 2) if q in adj[p])
         coef = round(2.0 * t / (d * (d - 1)), 6)
         assert got[v] == (d, t, pytest.approx(coef, abs=1e-9)), v
+
+
+def test_two_hop_reach_matches_bruteforce_with_cap(spark):
+    from pdfmef_spark.operators.reach import two_hop_reach
+
+    edges = _random_graph(35, 150, seed=5)
+    adj: dict[str, set[str]] = {}
+    for s, d in edges.itertuples(index=False):
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    for cap in (None, 6):
+        got = {
+            r.node: r.reach2
+            for r in two_hop_reach(
+                spark.createDataFrame(edges), hub_cap=cap
+            ).collect()
+        }
+        want = {}
+        for v, nb in adj.items():
+            r = set(nb)
+            for m in nb:
+                if cap is None or len(adj[m]) <= cap:
+                    r |= adj[m]
+            r.discard(v)
+            want[v] = len(r)
+        assert got == want, f"cap={cap}"
