@@ -213,21 +213,100 @@ def _char_jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 @F.pandas_udf(T.DoubleType())
-def pair_score_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    def score(x: str, y: str) -> float:
+def pair_score_udf(a: pd.Series, b: pd.Series, cj: pd.Series) -> pd.Series:
+    """Exact pair score given the (JVM-precomputed) char Jaccard ``cj``.
+
+    Python computes ONLY the greedy token alignment; the shingle Jaccard
+    arrives as a column (bit-identical to :func:`_char_jaccard` — same
+    shingle set, same int/int division), so the Arrow batch never
+    re-derives shingles the JVM already built for the LSH signatures.
+    """
+    out = []
+    for x, y, c in zip(a, b, cj):
         tok = _token_score(x, y)
-        blend = 0.6 * tok + 0.4 * _char_jaccard(x, y)
+        blend = 0.6 * tok + 0.4 * c
         # initialism pairs ("b eich" ~ "brendan eich") have near-perfect
         # token alignment but poor shingle overlap — let a strong token
         # score carry the decision on its own.
-        return max(blend, 0.8 * tok)
+        out.append(max(blend, 0.8 * tok))
+    return pd.Series(out)
 
-    return pd.Series([score(x, y) for x, y in zip(a, b)])
+
+def _char_jaccard_expr(a, b):
+    """JVM-side shingle Jaccard, bit-identical to :func:`_char_jaccard`:
+    ``char_shingles`` builds the same padded distinct 3-gram set, and
+    size/size division over identical ints yields the identical double."""
+    sa, sb = char_shingles(a), char_shingles(b)
+    return (
+        F.size(F.array_intersect(sa, sb)).cast("double")
+        / F.size(F.array_union(sa, sb)).cast("double")
+    )
+
+
+def _token_score_upper_expr(a, b):
+    """JVM-side UPPER BOUND on :func:`_token_score` (codegen, no Python).
+
+    The greedy alignment assigns each short-side token its best match
+    among *unused* long-side tokens; dropping the used-set constraint
+    (best over ALL long tokens, per short token) can only increase each
+    per-token score, so the sum — and the length-normalized total — is
+    a sound upper bound. Used to pre-filter candidate pairs before the
+    Arrow scorer: a pair whose upper-bounded score misses the threshold
+    can never pass, so Python scores only survivors.
+    """
+    ta, tb = F.split(a, " "), F.split(b, " ")
+    na, nb = F.size(ta), F.size(tb)
+    short = F.when(na <= nb, ta).otherwise(tb)
+    long_ = F.when(na <= nb, tb).otherwise(ta)
+    ns = F.least(na, nb).cast("double")
+    nl = F.greatest(na, nb).cast("double")
+
+    def best_for(s):
+        return F.array_max(
+            F.transform(
+                long_,
+                lambda l: F.when(s == l, F.lit(1.0))
+                .when(
+                    ((F.length(s) == 1) & l.startswith(s))
+                    | ((F.length(l) == 1) & s.startswith(l)),
+                    F.lit(0.9),
+                )
+                .when(
+                    (F.length(s) >= 3)
+                    & (F.length(l) >= 3)
+                    & (s.startswith(l) | l.startswith(s)),
+                    F.lit(0.7),
+                )
+                .otherwise(F.lit(0.0)),
+            )
+        )
+
+    total = F.aggregate(
+        F.transform(short, best_for), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return total / (ns + 0.35 * (nl - ns))
 
 
 def score_pairs(pairs: DataFrame, threshold: float = 0.70) -> DataFrame:
-    """LINKS(type, src, dst, score): Arrow-batched scoring + threshold."""
-    scored = pairs.withColumn("score", pair_score_udf(F.col("a"), F.col("b")))
+    """LINKS(type, src, dst, score): JVM pre-filter + Arrow-batched scoring.
+
+    Two-stage: (1) a codegen'd upper bound on the final score —
+    ``max(0.6*tok_ub + 0.4*cj, 0.8*tok_ub)`` with the EXACT char Jaccard
+    and the no-used-set token bound — prunes pairs that cannot reach the
+    threshold; (2) the Arrow scorer computes the exact greedy token
+    alignment only for survivors, reusing the JVM Jaccard column. The
+    output set and every score double are identical to scoring all
+    pairs (the bound is sound), but the Python-side work drops to the
+    survivor fraction.
+    """
+    cj = _char_jaccard_expr(F.col("a"), F.col("b"))
+    tok_ub = _token_score_upper_expr(F.col("a"), F.col("b"))
+    pre = pairs.withColumn("cj", cj).filter(
+        F.greatest(0.6 * tok_ub + 0.4 * F.col("cj"), 0.8 * tok_ub) >= F.lit(threshold)
+    )
+    scored = pre.withColumn(
+        "score", pair_score_udf(F.col("a"), F.col("b"), F.col("cj"))
+    )
     return scored.filter(F.col("score") >= threshold).select(
         "type", F.col("a").alias("src"), F.col("b").alias("dst"), "score"
     )

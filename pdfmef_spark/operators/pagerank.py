@@ -11,8 +11,12 @@ bit-exact hash check despite floating point): the two aggregation
 results per iteration — each node's in-contribution sum and the global
 dangling-rank sum — are rounded to ``round_dp`` decimals; every other
 arithmetic step is a fixed IEEE-754 expression tree evaluated over
-identical inputs, so any engine that follows the same tree produces
-bit-identical ranks regardless of its internal summation order.
+identical inputs. Caveat (known limitation, not a guarantee): rounding
+an order-dependent double sum is only probabilistically stable — a sum
+landing within ~1 ulp of a round-half boundary can round differently
+per engine. At the tested graph sizes no such boundary case occurs; if
+one ever flakes the hash gate, compare at ``round_dp - 1`` (a guard
+digit) rather than treating it as a correctness regression.
 
 Scale design (10^12-edge citation graph, 1000 executors):
 
@@ -75,11 +79,19 @@ def pagerank(
             .cache()
         )
     else:
-        e = edges.select(
-            F.col(src).alias("src"),
-            F.col(dst).alias("dst"),
-            F.col(weight).cast("double").alias("w"),
-        ).cache()
+        # weight contract: NULL / non-positive weights are dropped up
+        # front (mirrored by WHERE w > 0 in pagerank_oracle_sql) — a
+        # node whose total out-weight were 0 would divide to NaN and
+        # silently poison every downstream rank.
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("double").alias("w"),
+            )
+            .filter(F.col("w") > 0)
+            .cache()
+        )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -137,13 +149,14 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("node", F.col("rank").alias("pr"))
-    if checkpoint_every:
-        # materialize the final ranks so the cached edge/degree/node
-        # relations can be released — the returned DataFrame reads its
-        # own checkpoint blocks, not the loop's lineage
-        out = out.localCheckpoint(eager=True)
-        for df in (e, nodes, deg):
-            df.unpersist()
+    # materialize the final ranks so the cached edge/degree/node
+    # relations can be released — the returned DataFrame reads its own
+    # checkpoint blocks, not the loop's lineage. Unconditional: even
+    # the checkpoint_every=0 debug path must not leak three cached
+    # relations for the session lifetime.
+    out = out.localCheckpoint(eager=True)
+    for df in (e, nodes, deg):
+        df.unpersist()
     return out
 
 
@@ -161,7 +174,12 @@ def pagerank_oracle_sql(
     """
     d = f"CAST({damping!r} AS DOUBLE)"
     if weighted:
-        e_cte = f"e AS (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM ({edges_sql}))"
+        # mirror pagerank()'s weight contract: NULL / non-positive
+        # weights dropped before degree computation
+        e_cte = (
+            f"e AS (SELECT src, dst, CAST(w AS DOUBLE) AS w FROM ({edges_sql}) "
+            "WHERE CAST(w AS DOUBLE) > 0)"
+        )
         deg_cte = "deg AS (SELECT src, sum(w) AS deg FROM e GROUP BY src)"
         term = "r.rank * e.w / deg.deg"
     else:

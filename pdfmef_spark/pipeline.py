@@ -165,7 +165,14 @@ def _write_stage(
          metrics_json)
     )
     _append_manifest(out_dir, records)
-    return spark.read.parquet(path)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        # a zero-row stage under dynamic partition overwrite writes no
+        # parquet files (first incremental batch with e.g. no triples),
+        # so the read-back can't infer a schema — return an empty frame
+        # with the stage's own schema instead of failing the run
+        return spark.createDataFrame([], df.schema)
 
 
 def _append_manifest(out_dir: str, records: list[tuple]) -> None:

@@ -33,8 +33,11 @@ def main(sf_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, os_ = E.queries(), E.oracle_sql()
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
     failures = 0
     for name, fn in qs.items():
+        if only and not any(name.startswith(p) for p in only):
+            continue
         df = fn(spark, sf_dir)
         sdf = df.toPandas()
         cols = sorted(sdf.columns)
