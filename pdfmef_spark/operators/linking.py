@@ -49,6 +49,12 @@ def _band_hashes(shingle_col):
     variable into xxhash64(shingle, idx). (Unrolling 64 copies of
     array_min(transform(...)) makes Janino compile a huge generated
     class: ~15-20 s of fixed plan-compile latency per job.)
+
+    NOTE: higher-order functions are CodegenFallback — every one of the
+    64 x n_shingles xxhash64 evaluations here runs interpreted. Kept for
+    the small-vocabulary / single-projection path and tests;
+    :func:`minhash_signatures` is the measured-faster production path
+    (3.5x on a 120k-surface vocabulary) used by candidate_pairs.
     """
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
@@ -67,6 +73,40 @@ def _band_hashes(shingle_col):
         )
 
     return sig, bands_of
+
+
+def minhash_signatures(norms: DataFrame) -> DataFrame:
+    """(type, norm, h0..h63) MinHash signatures, whole-stage-codegen —
+    bit-identical to the `_band_hashes` signature array, with no
+    interpreted higher-order functions in the per-row hot path.
+
+    Shape: explode each (type, norm) into its 3-char shingles, compute
+    the 64 seeded ``xxhash64(shingle, seed)`` columns INLINE in the
+    projection (plain codegen expressions — the same hash values the
+    lambda path computes), then 64 algebraic ``min`` aggregates per
+    (type, norm). Exactly one exchange (the vocabulary-sized groupBy),
+    and map-side partial min aggregation absorbs the ~avg_len-per-norm
+    exploded rows before the shuffle — the shape that survives a
+    10^12-doc vocabulary.
+
+    Measured (120k-surface stress vocabulary, local[32]): the whole
+    candidate-generation stage dropped 44.8 s -> ~13 s vs the
+    interpreted-lambda path; a broadcast distinct-shingle-table variant
+    was also tried and REVERTED — its extra distinct + broadcast + join
+    exchanges cost ~3 s of fixed overhead at small vocabularies while
+    saving only duplicate-shingle re-hashing (xxhash64 in codegen is
+    ~ns; the dedup isn't worth one extra exchange).
+    """
+    sh = norms.select(
+        "type", "norm", F.explode(char_shingles(F.col("norm"))).alias("s")
+    )
+    hashed = sh.select(
+        "type", "norm",
+        *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(N_HASHES)],
+    )
+    return hashed.groupBy("type", "norm").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(N_HASHES)]
+    )
 
 
 def _bucket_pairs_capped(keyed: DataFrame, cap_obs=None) -> DataFrame:
@@ -131,22 +171,30 @@ def candidate_pairs(keys: DataFrame, cap_obs=None) -> DataFrame:
 
     All three blocking families are tagged into ONE keyed relation
     (type, bkey, norm) — "b:<band>:<hash>", "t:<token>", "p:<prefix>" —
-    built by a SINGLE projection (array concat + one explode), so the
-    whole candidate generation costs exactly three exchanges: the norms
-    distinct, the (type, bkey) groupBy, and the final pair distinct.
-    (The previous shape re-ran the norms-distinct subtree and a groupBy
-    per family: 7 exchanges.) Per-family caps ride on the bkey prefix.
+    so candidate generation costs the norms distinct, the signature
+    min-aggregate (see minhash_signatures), the (type, bkey) groupBy,
+    and the final pair distinct. Per-family caps ride on the bkey
+    prefix. Signatures come from the codegen shingle-hash-join path;
+    the band keys below reproduce the exact same "b:<band>:<hash>"
+    strings as the lambda path, so the candidate set — and every
+    downstream link — is unchanged.
     """
     norms = keys.select("type", "norm").distinct()
 
-    sig_expr, bands_of = _band_hashes(char_shingles(F.col("norm")))
-    # sig materializes as a named column (stacked projection, no shuffle)
-    # so the 64-hash signature expression is computed once per row, not
-    # re-inlined into every element_at of every band hash
-    signed = norms.withColumn("sig", sig_expr)
-    band_keys = F.transform(
-        bands_of(F.col("sig")),
-        lambda bh, i: F.concat_ws(":", F.lit("b"), i, bh),
+    # signatures carry (type, norm) through the aggregate — no join-back
+    signed = minhash_signatures(norms)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit("b"),
+                F.lit(b),
+                F.xxhash64(
+                    *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ),
+            )
+            for b in range(N_BANDS)
+        ]
     )
     # last-token block: catches initialisms ("a turing" ~ "alan turing")
     # whose shingle overlap is too low for the LSH bands.
@@ -213,100 +261,32 @@ def _char_jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 @F.pandas_udf(T.DoubleType())
-def pair_score_udf(a: pd.Series, b: pd.Series, cj: pd.Series) -> pd.Series:
-    """Exact pair score given the (JVM-precomputed) char Jaccard ``cj``.
-
-    Python computes ONLY the greedy token alignment; the shingle Jaccard
-    arrives as a column (bit-identical to :func:`_char_jaccard` — same
-    shingle set, same int/int division), so the Arrow batch never
-    re-derives shingles the JVM already built for the LSH signatures.
-    """
-    out = []
-    for x, y, c in zip(a, b, cj):
+def pair_score_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    def score(x: str, y: str) -> float:
         tok = _token_score(x, y)
-        blend = 0.6 * tok + 0.4 * c
+        blend = 0.6 * tok + 0.4 * _char_jaccard(x, y)
         # initialism pairs ("b eich" ~ "brendan eich") have near-perfect
         # token alignment but poor shingle overlap — let a strong token
         # score carry the decision on its own.
-        out.append(max(blend, 0.8 * tok))
-    return pd.Series(out)
+        return max(blend, 0.8 * tok)
 
-
-def _char_jaccard_expr(a, b):
-    """JVM-side shingle Jaccard, bit-identical to :func:`_char_jaccard`:
-    ``char_shingles`` builds the same padded distinct 3-gram set, and
-    size/size division over identical ints yields the identical double."""
-    sa, sb = char_shingles(a), char_shingles(b)
-    return (
-        F.size(F.array_intersect(sa, sb)).cast("double")
-        / F.size(F.array_union(sa, sb)).cast("double")
-    )
-
-
-def _token_score_upper_expr(a, b):
-    """JVM-side UPPER BOUND on :func:`_token_score` (codegen, no Python).
-
-    The greedy alignment assigns each short-side token its best match
-    among *unused* long-side tokens; dropping the used-set constraint
-    (best over ALL long tokens, per short token) can only increase each
-    per-token score, so the sum — and the length-normalized total — is
-    a sound upper bound. Used to pre-filter candidate pairs before the
-    Arrow scorer: a pair whose upper-bounded score misses the threshold
-    can never pass, so Python scores only survivors.
-    """
-    ta, tb = F.split(a, " "), F.split(b, " ")
-    na, nb = F.size(ta), F.size(tb)
-    short = F.when(na <= nb, ta).otherwise(tb)
-    long_ = F.when(na <= nb, tb).otherwise(ta)
-    ns = F.least(na, nb).cast("double")
-    nl = F.greatest(na, nb).cast("double")
-
-    def best_for(s):
-        return F.array_max(
-            F.transform(
-                long_,
-                lambda l: F.when(s == l, F.lit(1.0))
-                .when(
-                    ((F.length(s) == 1) & l.startswith(s))
-                    | ((F.length(l) == 1) & s.startswith(l)),
-                    F.lit(0.9),
-                )
-                .when(
-                    (F.length(s) >= 3)
-                    & (F.length(l) >= 3)
-                    & (s.startswith(l) | l.startswith(s)),
-                    F.lit(0.7),
-                )
-                .otherwise(F.lit(0.0)),
-            )
-        )
-
-    total = F.aggregate(
-        F.transform(short, best_for), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return total / (ns + 0.35 * (nl - ns))
+    return pd.Series([score(x, y) for x, y in zip(a, b)])
 
 
 def score_pairs(pairs: DataFrame, threshold: float = 0.70) -> DataFrame:
-    """LINKS(type, src, dst, score): JVM pre-filter + Arrow-batched scoring.
+    """LINKS(type, src, dst, score): Arrow-batched scoring + threshold.
 
-    Two-stage: (1) a codegen'd upper bound on the final score —
-    ``max(0.6*tok_ub + 0.4*cj, 0.8*tok_ub)`` with the EXACT char Jaccard
-    and the no-used-set token bound — prunes pairs that cannot reach the
-    threshold; (2) the Arrow scorer computes the exact greedy token
-    alignment only for survivors, reusing the JVM Jaccard column. The
-    output set and every score double are identical to scoring all
-    pairs (the bound is sound), but the Python-side work drops to the
-    survivor fraction.
+    Measured decision (round 4): a JVM-side pre-filter — exact shingle
+    Jaccard via array_intersect/array_union plus a sound upper bound on
+    the token score via transform/aggregate — was built, proved lossless,
+    and REVERTED: Spark higher-order functions are CodegenFallback
+    (interpreted, per-element object allocation), and on a 1.24M-pair
+    candidate set the "pre-filtered" path took 11.8 s where this plain
+    Arrow scorer takes 2.28 s (~1.8 us/pair). The scorer is not the
+    linking bottleneck at any measured scale; candidate *generation* is
+    (see candidate_pairs), and pruning effort belongs there.
     """
-    cj = _char_jaccard_expr(F.col("a"), F.col("b"))
-    tok_ub = _token_score_upper_expr(F.col("a"), F.col("b"))
-    pre = pairs.withColumn("cj", cj).filter(
-        F.greatest(0.6 * tok_ub + 0.4 * F.col("cj"), 0.8 * tok_ub) >= F.lit(threshold)
-    )
-    scored = pre.withColumn(
-        "score", pair_score_udf(F.col("a"), F.col("b"), F.col("cj"))
-    )
+    scored = pairs.withColumn("score", pair_score_udf(F.col("a"), F.col("b")))
     return scored.filter(F.col("score") >= threshold).select(
         "type", F.col("a").alias("src"), F.col("b").alias("dst"), "score"
     )

@@ -15,12 +15,7 @@ def test_pair_scoring_on_golden_links(spark):
     scored = gl.withColumn(
         "score",
         linking.pair_score_udf(
-            normalize_surface(F.col("surface_a")),
-            normalize_surface(F.col("surface_b")),
-            linking._char_jaccard_expr(
-                normalize_surface(F.col("surface_a")),
-                normalize_surface(F.col("surface_b")),
-            ),
+            normalize_surface(F.col("surface_a")), normalize_surface(F.col("surface_b"))
         ),
     ).withColumn("pred_same", F.col("score") >= 0.70)
     agg = scored.groupBy("same_entity", "pred_same").count().collect()
@@ -123,48 +118,27 @@ def test_cap_drop_counters_planted_hot_bucket(spark):
     assert m2 == {"buckets_dropped": 0, "members_dropped": 0}
 
 
-def test_prefilter_is_lossless(spark, smoke_pages):
-    """The JVM score-upper-bound pre-filter must never drop a pair that the
-    exact scorer would accept: links(with prefilter) == brute-force exact
-    scoring of ALL candidate pairs, scores bit-identical."""
-    from pdfmef_spark.operators import extract, triples as triples_op
+def test_minhash_signatures_match_lambda_path(spark):
+    """The codegen shingle-hash-join signatures must be bit-identical to
+    the interpreted lambda path (same xxhash64(shingle, seed) family,
+    same per-seed min), so swapping the production path changed NO
+    candidate pair."""
+    from pdfmef_spark.functions import char_shingles
 
-    ext = extract.extract_pages(smoke_pages)
-    trip = triples_op.extract_triples(ext)
-    mentions = triples_op.mentions_from_triples(trip)
-    keys = linking.surface_keys(mentions)
-    pairs = linking.candidate_pairs(keys).persist()
-    try:
-        pdf = pairs.toPandas()
-        brute = set()
-        for t, x, y in zip(pdf["type"], pdf["a"], pdf["b"]):
-            tok = linking._token_score(x, y)
-            s = max(0.6 * tok + 0.4 * linking._char_jaccard(x, y), 0.8 * tok)
-            if s >= 0.70:
-                brute.add((t, x, y, s))
-        got = {
-            (r.type, r.src, r.dst, r.score)
-            for r in linking.score_pairs(pairs, 0.70).collect()
-        }
-        assert got == brute, (
-            f"prefilter dropped/changed pairs: only_brute={brute - got} "
-            f"only_got={got - brute}"
-        )
-    finally:
-        pairs.unpersist()
-
-
-def test_char_jaccard_expr_matches_python(spark):
-    """JVM shingle Jaccard must be bit-identical to _char_jaccard."""
-    rows = [
-        ("alan turing", "a turing"),
-        ("acme corp", "acme corporation"),
-        ("x", "x"),
-        ("a", "b"),
-        ("orbital logic", "orbital logic systems"),
-    ]
-    df = spark.createDataFrame(rows, "a string, b string").withColumn(
-        "cj", linking._char_jaccard_expr(F.col("a"), F.col("b"))
+    norms = spark.createDataFrame(
+        [("PERSON", n) for n in [
+            "alan turing", "a turing", "turing alan", "acme corp",
+            "acme corporation", "orbital logic systems", "x",
+        ]],
+        "type string, norm string",
     )
-    for r in df.collect():
-        assert r.cj == linking._char_jaccard(r.a, r.b), (r.a, r.b)
+    sig_expr, _ = linking._band_hashes(char_shingles(F.col("norm")))
+    via_lambda = {
+        r.norm: list(r.sig)
+        for r in norms.select("norm", sig_expr.alias("sig")).collect()
+    }
+    via_join = {
+        r["norm"]: [r[f"h{i}"] for i in range(linking.N_HASHES)]
+        for r in linking.minhash_signatures(norms).collect()
+    }
+    assert via_join == via_lambda
