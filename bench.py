@@ -153,7 +153,8 @@ def main() -> None:
                 str(s["full"]["hi"]["cores"]): s["full"]["hi"]["docs_per_sec"],
             }
             out["scaling"]["full_pipeline_efficiency"] = s["full"]["scaling_efficiency"]
-            out["scaling"]["sf_full"] = s.get("sf_full")
+            out["scaling"]["full_docs"] = s.get("full_docs")
+            out["scaling"]["full_corpus"] = s.get("full_corpus")
     print(json.dumps(out))
 
 

@@ -336,6 +336,81 @@ def _page_content(i: int, n: int) -> dict:
             cursor += len(s)
         blocks.append({"text": " ".join(sents), "triples": trips, "anchors": anchors})
 
+    # figures -> M8 analog truth (reference: per-doc figure entities with
+    # captions, csxextract/extractors/figures2.py:39-52). Dedicated rng
+    # stream so planting does not shift existing draws. Three planted
+    # shapes: <figure> with <figcaption> (caption also becomes a text
+    # block), a caption-less <figure> whose <img alt> is the caption
+    # (no text block — alt is an attribute), and a standalone in-paragraph
+    # <img alt> (no text block).
+    frng = random.Random(f"{SEED}-fig-{i}")
+    if frng.random() < 0.25:
+        for k in range(1, frng.randint(1, 2) + 1):
+            t = frng.choice(TERMS)["canonical"]
+            u = frng.choice(TERMS)["canonical"]
+            caption = f"Figure {k}: {frng.choice(['throughput', 'latency', 'coverage', 'accuracy'])} of {t} versus {u}"
+            shape = frng.random()
+            if shape < 0.60:
+                blocks.append({
+                    "text": caption, "triples": [
+                        ("__URL__", "hasFigure", caption, "DOC", "TERM",
+                         0, len(caption))],
+                    "anchors": [],
+                    "html": (
+                        f'<figure><img src="/img/f{k}.png" alt="fig {k}">'
+                        f"<figcaption>{html_mod.escape(caption)}</figcaption></figure>"
+                    ),
+                })
+            elif shape < 0.85:
+                blocks.append({
+                    "text": "", "triples": [
+                        ("__URL__", "hasFigure", caption, "DOC", "TERM", 0, 0)],
+                    "anchors": [],
+                    "html": (
+                        f'<figure><img src="/img/f{k}.png" '
+                        f'alt="{html_mod.escape(caption)}"></figure>'
+                    ),
+                })
+            else:
+                lead = f"The chart on {t} is shown inline."
+                blocks.append({
+                    "text": lead, "triples": [
+                        ("__URL__", "hasFigure", caption, "DOC", "TERM", 0, 0)],
+                    "anchors": [],
+                    "html": (
+                        f"<p>{html_mod.escape(lead)} "
+                        f'<img src="/img/s{k}.png" alt="{html_mod.escape(caption)}"></p>'
+                    ),
+                })
+
+    # multi-unit ordered affiliation -> the reference's orgName comparator
+    # truth (tei.py:124-143: institution > department > laboratory,
+    # pipe-joined). Units appear in a shuffled sentence order; the golden
+    # affiliationString is the rank-ordered pipe-join and the golden
+    # affiliatedWith object is the institution unit.
+    xrng = random.Random(f"{SEED}-affil-{i}")
+    if xrng.random() < 0.15:
+        person = xrng.choice(PERSONS)
+        pa = xrng.choice(person["aliases"])
+        inst = xrng.choice(ORGS[1:])
+        ia = xrng.choice(inst["aliases"][:2])  # no "The ..." alias in a list
+        dept = f"{xrng.choice(TERMS)['canonical'].title()} Department"
+        lab = f"{xrng.choice(TERMS)['canonical'].title()} Laboratory"
+        shuffled = [ia, f"the {dept}", f"the {lab}"]
+        xrng.shuffle(shuffled)
+        sent = f"{pa} is affiliated with {shuffled[0]}, {shuffled[1]}, and {shuffled[2]}."
+        used.append((pa, person))
+        used.append((ia, inst))
+        blocks.append({
+            "text": sent,
+            "triples": [
+                (pa, "affiliatedWith", ia, "PERSON", "ORG", 0, len(pa)),
+                (pa, "affiliationString", f"{ia} | {dept} | {lab}",
+                 "PERSON", "TERM", 0, len(pa)),
+            ],
+            "anchors": [],
+        })
+
     # algorithm section -> M9 analog truth (reference: AlgorithmsExtractor
     # emits algoid/caption plus reference sentences elsewhere in the doc,
     # csxextract/extractors/algorithms.py:17-46 + AlgoXmlGenerator.pl).
@@ -396,6 +471,10 @@ def _render_html(i: int, n: int, content: dict, empty: bool, boiler_only: bool) 
 
     parts = ["<main><article>\n"]
     for bi, block in enumerate(content["blocks"]):
+        if "html" in block:
+            # pre-rendered markup (figure / inline-img blocks)
+            parts.append(block["html"] + "\n")
+            continue
         tag = "h1" if bi == 0 else "p"
         cls = ' class="byline"' if bi == 1 and content["lang"] == "en" else ""
         btext = block["text"]
@@ -424,7 +503,10 @@ def gen_page(i: int, n: int) -> dict:
         lang = content["lang"]
     else:
         blocks = content["blocks"]
-        text = "\n".join(b["text"] for b in blocks)
+        # empty-text blocks (caption-less figures, inline imgs) contribute
+        # triples but no text line — the extractor drops empty blocks, so
+        # the golden text must skip them too (byte-identity contract)
+        text = "\n".join(b["text"] for b in blocks if b["text"])
         title, lang, used = content["title"], content["lang"], content["used"]
         triples = []
         off = 0
@@ -436,7 +518,8 @@ def gen_page(i: int, n: int) -> dict:
                     "subj_type": st, "obj_type": ot,
                     "span_start": off + o_, "span_end": off + o_ + l_,
                 })
-            off += len(b["text"]) + 1
+            if b["text"]:
+                off += len(b["text"]) + 1
 
     html = _render_html(i, n, content, empty, boiler_only)
     ts = _BASE_TS + timedelta(seconds=i * (30 * 86400 / max(n, 1)))

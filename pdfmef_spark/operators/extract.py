@@ -41,25 +41,69 @@ _BLOCK_TAG = re.compile(
 )
 _ANY_TAG = re.compile(r"(?s)<[^>]*>")
 _TITLE_TAG = re.compile(r"(?is)<title[^>]*>(.*?)</title\s*>")
+_FIGURE = re.compile(r"(?is)<figure\b.*?</figure\s*>")
+_FIGCAPTION = re.compile(r"(?is)<figcaption[^>]*>(.*?)</figcaption\s*>")
+_IMG_ALT = re.compile(r'(?is)<img\s[^>]*?alt\s*=\s*"([^"]*)"')
+
+
+def _figure_captions(s: str) -> list[str]:
+    """Figure captions in document order, captured before tag strip.
+
+    The reference emits per-document figure entities with captions
+    (csxextract/extractors/figures2.py:39-52 + FigureXmlGenerator.pl);
+    the web analog: each <figure> contributes its <figcaption> text
+    (fallback: its <img alt>), and each standalone <img alt> OUTSIDE a
+    figure contributes its alt text. Document order = match offset in
+    the original string. The capture never alters `text` — figcaption
+    content still renders into its own plain-text block, so per-url
+    byte-identity is unaffected."""
+    caps: list[tuple[int, str]] = []
+    fig_spans: list[tuple[int, int]] = []
+    for m in _FIGURE.finditer(s):
+        fig_spans.append((m.start(), m.end()))
+        sub = m.group(0)
+        cm = _FIGCAPTION.search(sub)
+        raw = cm.group(1) if cm else None
+        if raw is None:
+            am = _IMG_ALT.search(sub)
+            raw = am.group(1) if am else None
+        if raw:
+            txt = " ".join(html_mod.unescape(_ANY_TAG.sub("", raw)).split())
+            if txt:
+                caps.append((m.start(), txt))
+    for m in _IMG_ALT.finditer(s):
+        if any(a <= m.start() < b for a, b in fig_spans):
+            continue
+        txt = " ".join(html_mod.unescape(m.group(1)).split())
+        if txt:
+            caps.append((m.start(), txt))
+    caps.sort(key=lambda t: t[0])
+    return [c for _, c in caps]
 
 
 class _RowError(Exception):
     """Carries an already-formatted per-row error message verbatim."""
 
 
-def extract_html_bytes(raw: bytes) -> tuple[str, list[str], str | None, int]:
-    """Pure extraction: (text, links, title, n_blocks). Deterministic."""
+def extract_html_bytes(
+    raw: bytes,
+) -> tuple[str, list[str], str | None, list[str], int]:
+    """Pure extraction: (text, links, title, figures, n_blocks).
+    Deterministic. ``figures`` = captions in document order (see
+    :func:`_figure_captions`); the caption capture never alters
+    ``text`` — figcaption content still renders into its own block."""
     s = raw.decode("utf-8", errors="replace")
     m = _TITLE_TAG.search(s)
     title = html_mod.unescape(m.group(1)).strip() if m else None
     s = _DROP_SUBTREE.sub("", s)
     links = [h for h in _HREF.findall(s) if h.startswith(("http://", "https://"))]
+    figures = _figure_captions(s)
     s = _BLOCK_TAG.sub("\n", s)
     s = _ANY_TAG.sub("", s)
     s = html_mod.unescape(s)
     blocks = [" ".join(line.split()) for line in s.split("\n")]
     blocks = [b for b in blocks if b]
-    return "\n".join(blocks), links, title, len(blocks)
+    return "\n".join(blocks), links, title, figures, len(blocks)
 
 
 def extract_pages(
@@ -67,7 +111,7 @@ def extract_pages(
     row_timeout: float | None = None,
     extract_fn=extract_html_bytes,
 ) -> DataFrame:
-    """pages(url, html, ...) -> EXTRACTED(url, text, links, title, n_blocks, error).
+    """pages(url, html, ...) -> EXTRACTED(url, text, links, title, figures, n_blocks, error).
 
     Column-pruned input (only url+html cross Arrow), batched execution,
     per-row error capture. At cluster scale this is a pure map stage:
@@ -87,7 +131,8 @@ def extract_pages(
         runner = DeadlineRunner(row_timeout) if row_timeout else None
         try:
             for pdf in batches:
-                urls, texts, links_col, titles, nblocks, errs = [], [], [], [], [], []
+                urls, texts, links_col, titles = [], [], [], []
+                figs_col, nblocks, errs = [], [], []
                 for url, raw in zip(pdf["url"], pdf["html"]):  # noqa: B905
                     urls.append(url)
                     try:
@@ -100,18 +145,20 @@ def extract_pages(
                                 # — carry it verbatim so the error column
                                 # matches the in-process path exactly
                                 raise _RowError(err)
-                            text, links, title, nb = out
+                            text, links, title, figures, nb = out
                         else:
-                            text, links, title, nb = extract_fn(bytes(raw))
+                            text, links, title, figures, nb = extract_fn(bytes(raw))
                         texts.append(text)
                         links_col.append(links)
                         titles.append(title)
+                        figs_col.append(figures)
                         nblocks.append(nb)
                         errs.append(None)
                     except Exception as exc:  # error is data, never a task failure
                         texts.append(None)
                         links_col.append(None)
                         titles.append(None)
+                        figs_col.append(None)
                         nblocks.append(None)
                         msg = (
                             str(exc)
@@ -125,6 +172,7 @@ def extract_pages(
                         "text": texts,
                         "links": links_col,
                         "title": titles,
+                        "figures": figs_col,
                         "n_blocks": pd.array(nblocks, dtype="Int32"),
                         "lang": pdf["lang"] if "lang" in pdf else None,
                         "error": errs,

@@ -69,11 +69,16 @@ def materialize_graph(
 
     smap = F.broadcast(surface_map) if broadcast_map else surface_map
 
-    # hasTitle/hasAbstract are document attributes, not graph relations —
-    # those strings are not entity mentions (mirrors the reference, where
-    # title/abstract live in the header XML, tei.py:31-35 + 81-92, not in
-    # the citation graph).
-    t = triples.filter(~F.col("pred").isin("hasTitle", "hasAbstract"))
+    # hasTitle/hasAbstract/hasFigure/affiliationString are document
+    # attributes, not graph relations — those strings are not entity
+    # mentions (mirrors the reference, where title/abstract/figure
+    # captions live in header/figure XML, tei.py:31-35 + 81-92 and
+    # figures2.py:39-52, not in the citation graph).
+    t = triples.filter(
+        ~F.col("pred").isin(
+            "hasTitle", "hasAbstract", "hasFigure", "affiliationString"
+        )
+    )
 
     # subject side: DOC subjects hash directly; entity subjects via map
     subj_map = smap.select(

@@ -18,6 +18,12 @@ Relation patterns (closed predicate set, FIXTURES.md §2):
     csxextract/extractors/tei.py:81-92 — heading strip + double unescape)
   - "Tags: a, b" block          -> (url, hasKeyword, each)
   - in-content <a href>         -> (url, cites, href)   [from extract stage]
+  - figure captions             -> (url, hasFigure, caption) [from extract
+    stage; reference: per-doc figure entities, figures2.py:39-52]
+  - "<X> is affiliated with <U1>, <U2>, and <U3>." -> (X, affiliatedWith,
+    institution) + (X, affiliationString, "inst | dept | lab") with units
+    ordered institution > department > laboratory, ties in sentence order
+    (reference: the orgName comparator, tei.py:124-143)
 
 Sentence boundaries respect person-name initials ("G. Lovelace works
 for ...") — a '.' preceded by a lone capital letter is not a boundary.
@@ -44,6 +50,35 @@ _PATTERNS = [
 _TAGS_PREFIX = "Tags: "
 _ABSTRACT_PREFIX = "Abstract: "
 _BYLINE = re.compile(r"^By (.+)$")
+
+# affiliation-unit ranking (reference: the orgName type comparator,
+# csxextract/extractors/tei.py:124-143 — institution > department >
+# laboratory, pipe-joined in that order)
+def _affil_rank(unit: str) -> int:
+    low = unit.lower()
+    if low.endswith("laboratory") or low.endswith("lab"):
+        return 2
+    if low.endswith("department") or low.endswith("dept"):
+        return 1
+    return 0  # institution
+
+
+def _parse_affil_units(tail: str) -> list[str]:
+    """Split a multi-unit affiliation list into unit strings.
+
+    'the A Department, B Labs, and the C Laboratory' ->
+    ['A Department', 'B Labs', 'C Laboratory'] (leading 'the '/'and '
+    dropped, original casing kept)."""
+    units = []
+    for part in tail.split(", "):
+        part = part.strip()
+        if part.lower().startswith("and "):
+            part = part[4:]
+        if part.lower().startswith("the "):
+            part = part[4:]
+        if part:
+            units.append(part)
+    return units
 
 
 def _is_boundary(s: str, k: int) -> bool:
@@ -124,8 +159,23 @@ def extract_relations(text: str) -> list[tuple]:
                     subj = block[s0:k]
                     obj = block[k + len(marker):e1]
                     if subj and obj and subj[0].isupper():
-                        out.append((subj, pred, obj, st, ot,
-                                    off + s0, off + s0 + len(subj), 1.0))
+                        if pred == "affiliatedWith" and ", " in obj:
+                            # multi-unit affiliation list (reference:
+                            # ordered orgName affiliations, tei.py:124-143):
+                            # emit the person->institution link triple plus
+                            # the full ordered pipe-joined affiliation
+                            # string as a doc-style attribute
+                            units = _parse_affil_units(obj)
+                            ordered = sorted(units, key=_affil_rank)
+                            inst = ordered[0] if ordered else obj
+                            out.append((subj, pred, inst, st, ot,
+                                        off + s0, off + s0 + len(subj), 1.0))
+                            out.append((subj, "affiliationString",
+                                        " | ".join(ordered), st, "TERM",
+                                        off + s0, off + s0 + len(subj), 0.95))
+                        else:
+                            out.append((subj, pred, obj, st, ot,
+                                        off + s0, off + s0 + len(subj), 1.0))
                     start = k + len(marker)
         off += len(block) + 1
     return out
@@ -142,7 +192,10 @@ def extract_triples(extracted: DataFrame, lang_gate: str | None = "en") -> DataF
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
-            for url, text, links in zip(pdf["url"], pdf["text"], pdf["links"]):
+            figs = pdf["figures"] if "figures" in pdf else [None] * len(pdf)
+            for url, text, links, figures in zip(
+                pdf["url"], pdf["text"], pdf["links"], figs
+            ):
                 try:
                     for (s, p, o, st, ot, a, b, conf) in extract_relations(text or ""):
                         rows.append({
@@ -157,12 +210,24 @@ def extract_triples(extracted: DataFrame, lang_gate: str | None = "en") -> DataF
                                 "obj": href, "subj_type": "DOC", "obj_type": "DOC",
                                 "span_start": None, "span_end": None, "conf": 1.0,
                             })
+                    if figures is not None:
+                        # per-doc figure entities (reference: figures2.py
+                        # emits figure+caption records per document)
+                        for cap in figures:
+                            rows.append({
+                                "url": url, "subj": url, "pred": "hasFigure",
+                                "obj": cap, "subj_type": "DOC", "obj_type": "TERM",
+                                "span_start": None, "span_end": None, "conf": 1.0,
+                            })
                 except Exception:
                     # row-level containment; a malformed page yields no triples
                     continue
             yield pd.DataFrame(rows, columns=[f.name for f in schemas.TRIPLES])
 
-    out = src.select("url", "text", "links").mapInPandas(run, schema=schemas.TRIPLES)
+    cols = ["url", "text", "links"] + (
+        ["figures"] if "figures" in src.columns else []
+    )
+    out = src.select(*cols).mapInPandas(run, schema=schemas.TRIPLES)
     # exact dedup — same triple re-stated on a page collapses to one row
     return out.dropDuplicates(["url", "subj", "pred", "obj"])
 
@@ -185,8 +250,16 @@ def mentions_from_triples(triples: DataFrame) -> DataFrame:
                 ),
                 F.struct(
                     F.col("obj").alias("surface"),
-                    # title/abstract strings are doc attributes, not mentions
-                    F.when(F.col("pred").isin("hasTitle", "hasAbstract"), F.lit("DOC"))
+                    # title/abstract/caption/affiliation strings are doc-style
+                    # attributes, not entity mentions — they must not enter
+                    # the linking vocabulary
+                    F.when(
+                        F.col("pred").isin(
+                            "hasTitle", "hasAbstract", "hasFigure",
+                            "affiliationString",
+                        ),
+                        F.lit("DOC"),
+                    )
                     .otherwise(F.col("obj_type"))
                     .alias("type"),
                     F.lit(None).cast("int").alias("span_start"),

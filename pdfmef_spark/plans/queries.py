@@ -133,6 +133,60 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "kg_figures",
+    oracle=f"""
+    SELECT DISTINCT url, obj AS caption
+    FROM read_parquet('{_KG}/golden_triples/*.parquet')
+    WHERE pred = 'hasFigure'
+    ORDER BY url, caption
+    """,
+)
+def kg_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document figure entities (M8's actual output; reference:
+    csxextract/extractors/figures2.py:39-52): captions captured from
+    <figure>/<figcaption>/<img alt> before tag strip, emitted as
+    (url, hasFigure, caption) triples — exact equality vs planted truth."""
+    from pdfmef_spark.operators import extract, triples as triples_op
+    from pdfmef_spark.sources import store
+
+    pages = store.read_pages(spark, _sf(sf_dir))
+    trip = triples_op.extract_triples(extract.extract_pages(pages))
+    return (
+        trip.filter(F.col("pred") == "hasFigure")
+        .select("url", F.col("obj").alias("caption"))
+        .distinct()
+        .orderBy("url", "caption")
+    )
+
+
+@_register(
+    "kg_affiliations",
+    oracle=f"""
+    SELECT DISTINCT url, subj AS person, obj AS affiliation
+    FROM read_parquet('{_KG}/golden_triples/*.parquet')
+    WHERE pred = 'affiliationString'
+    ORDER BY url, person, affiliation
+    """,
+)
+def kg_affiliations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-unit affiliations (reference: the orgName comparator,
+    tei.py:124-143 — institution > department > laboratory, pipe-joined).
+    Units appear shuffled in the sentence; the emitted affiliationString
+    must be the rank-ordered pipe-join — exact equality vs planted truth."""
+    from pdfmef_spark.operators import extract, triples as triples_op
+    from pdfmef_spark.sources import store
+
+    pages = store.read_pages(spark, _sf(sf_dir))
+    trip = triples_op.extract_triples(extract.extract_pages(pages))
+    return (
+        trip.filter(F.col("pred") == "affiliationString")
+        .select("url", F.col("subj").alias("person"), F.col("obj").alias("affiliation"))
+        .distinct()
+        .orderBy("url", "person", "affiliation")
+    )
+
+
+@_register(
     "kg_algorithms",
     oracle=f"""
     SELECT url, algo_id, caption, n_refs

@@ -83,3 +83,68 @@ def linking_scaling(
         }
     out["time_ratio"] = round(out["large"]["sec"] / out["small"]["sec"], 3)
     return out
+
+
+def stress_pages(spark: SparkSession, n_pages: int) -> DataFrame:
+    """Vocabulary-GROWING page corpus for full-pipeline scaling runs.
+
+    The oracle corpus (corpus.py) draws entities from fixed pools, so its
+    linking/components/graph tail is ~constant in doc count and a
+    full-pipeline scaling ratio over it mostly measures fixed stage
+    latency (BENCH_r03 printed 0.685 for exactly this reason). Here the
+    entity vocabulary grows linearly with n — one person entity per 3
+    pages (3 alias variants spread across its 3 pages), one org per 15 —
+    so every pipeline stage's work, including candidate generation and
+    pair scoring, scales with the input.
+
+    Pages are pure JVM expressions (deterministic in i, no Python), with
+    HTML that exercises the real extract path: boilerplate <header>/
+    <footer> to strip, an <h1> title block, and relation sentences the
+    triple patterns recognize. md5-hex name stems are fixed-width so
+    equal-length stems never prefix-match across entities (same design
+    as stress_mentions). The shared "Jr"/"Labs" last tokens form planted
+    HOT blocks: at this scale the t: token-block cap drops them (the
+    counters land in the links-stage manifest), and within-entity links
+    still form via the p: two-token-prefix block — capped-skew behavior
+    on the scaling path is a feature, not an accident.
+    """
+    n_ent = max(n_pages // 3, 1)
+    n_org = max(n_ent // 5, 1)
+    i = F.col("i")
+    e = F.pmod(i, F.lit(n_ent))
+    v = F.pmod(F.floor(i / F.lit(n_ent)), F.lit(3))
+    first = F.concat(F.lit("Fn"), F.pmod(e, F.lit(37)))
+    last = F.concat(F.lit("Ln"), F.substring(F.md5(e.cast("string")), 1, 8))
+    person = (
+        F.when(v == 0, F.concat(first, F.lit(" "), last))
+        .when(v == 1, F.concat(F.lit("F. "), last))
+        .otherwise(F.concat(first, F.lit(" "), last, F.lit(" Jr")))
+    )
+    o = F.pmod(e, F.lit(n_org))
+    stem = F.concat(
+        F.lit("Og"), F.substring(F.md5(F.concat(F.lit("org-"), o.cast("string"))), 1, 8)
+    )
+    org = (
+        F.when(v == 0, F.concat(stem, F.lit(" Labs")))
+        .when(v == 1, stem)
+        .otherwise(F.concat(F.lit("The "), stem, F.lit(" Labs")))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Stress "), i,
+        F.lit("</title></head><body><header>site navigation</header><main><h1>Stress report "), i,
+        F.lit("</h1><p>"), person, F.lit(" works for "), org,
+        F.lit(".</p><p>"), org, F.lit(" is located in Zurich."),
+        F.lit("</p><p>The quarterly analysis report shows steady results across regions "
+              "with further work planned for the index and the query system.</p>"
+              "</main><footer>contact and copyright</footer></body></html>"),
+    )
+    return spark.range(n_pages).select(F.col("id").alias("i")).select(
+        F.concat(
+            F.lit("https://stress"),
+            F.pmod(F.xxhash64(i), F.lit(max(n_pages // 50, 5))),
+            F.lit(".example.org/doc/"), i,
+        ).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit("en").alias("lang"),
+    )

@@ -31,6 +31,10 @@ EXTRACTED = T.StructType(
         T.StructField("text", T.StringType(), True),
         T.StructField("links", T.ArrayType(T.StringType()), True),
         T.StructField("title", T.StringType(), True),
+        # figure captions in document order (<figcaption> text, or <img alt>
+        # for caption-less figures / standalone content images) — the
+        # reference's per-doc figure entities (csxextract figures2.py:39-52)
+        T.StructField("figures", T.ArrayType(T.StringType()), True),
         T.StructField("n_blocks", T.IntegerType(), True),
         T.StructField("lang", T.StringType(), True),
         T.StructField("error", T.StringType(), True),

@@ -28,7 +28,7 @@ TESTDATA_TABLES = (
 DEFAULT_CACHE = os.environ.get("PDFMEF_SPARK_CACHE", "/root/repo/.cache")
 N_BUCKETS = 32
 # bump when corpus.py content changes: stale cached corpora regenerate
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4  # v4: planted figures (hasFigure) + ordered multi-affiliations
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

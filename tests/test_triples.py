@@ -66,3 +66,40 @@ def test_triple_pr_at_sf001(spark):
     n_got, n_gold = got.count(), gold.count()
     tp = got.join(gold, KEY, "inner").count()
     assert tp / n_got >= 0.95 and tp / n_gold >= 0.95
+
+
+def test_figures_exact_vs_planted(spark, smoke_pages):
+    """hasFigure captions (figcaption / img-alt shapes) must exactly match
+    the planted truth — the reference's per-doc figure entities
+    (figures2.py:39-52)."""
+    t = _pipeline_triples(spark, smoke_pages)
+    got = t.filter(F.col("pred") == "hasFigure").select(*KEY).distinct()
+    gold = (
+        store.read_golden(spark, 0.001, "golden_triples")
+        .filter(F.col("pred") == "hasFigure").select(*KEY).distinct()
+    )
+    n_got, n_gold = got.count(), gold.count()
+    tp = got.join(gold, KEY, "inner").count()
+    assert n_gold > 0
+    assert tp == n_got == n_gold, (n_got, n_gold, tp)
+
+
+def test_affiliation_ordering_exact(spark, smoke_pages):
+    """Multi-unit affiliations: emitted affiliationString must be the
+    institution > department > laboratory pipe-join regardless of the
+    (shuffled) sentence order; the affiliatedWith object must be the
+    institution unit (reference orgName comparator, tei.py:124-143)."""
+    t = _pipeline_triples(spark, smoke_pages)
+    gold = store.read_golden(spark, 0.001, "golden_triples")
+    for pred in ["affiliationString", "affiliatedWith"]:
+        got = t.filter(F.col("pred") == pred).select(*KEY).distinct()
+        g = gold.filter(F.col("pred") == pred).select(*KEY).distinct()
+        tp = got.join(g, KEY, "inner").count()
+        assert g.count() > 0
+        assert tp == got.count() == g.count(), (pred, got.count(), g.count(), tp)
+    # every emitted string is rank-sorted: dept never precedes institution etc.
+    rows = t.filter(F.col("pred") == "affiliationString").select("obj").collect()
+    from pdfmef_spark.operators.triples import _affil_rank
+    for r in rows:
+        ranks = [_affil_rank(u) for u in r.obj.split(" | ")]
+        assert ranks == sorted(ranks), r.obj
