@@ -159,3 +159,73 @@ def document_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": rolling_fingerprint(c),
         }
     )
+
+
+def textrank_keyphrases(
+    docs: DataFrame,
+    k: int = 5,
+    iterations: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Graph-based keyphrases: TextRank over per-document token
+    co-occurrence (reference analog: the graph-ranked members of the
+    keyphrase method family — hulth/kea/ceke, csxextract/config.py:25-28
+    — beside the frequency-based :func:`keyphrases_topk`).
+
+    Construction: candidate tokens (same filter + stoplist as the tf
+    method), edges between CONSECUTIVE candidates (window=2, both
+    directions, self-loops dropped), node key = doc_id || 0x1f || token
+    so one global :func:`~pdfmef_spark.operators.pagerank.pagerank` call
+    ranks every document's graph at once — per-doc ordering is unaffected
+    by the global normalization (the (1-d)/N and dangling terms are
+    uniform additive constants across nodes). Top-k per doc by (pr desc,
+    token): pr doubles are bit-identical cross-engine under pagerank's
+    rounding contract, so the selection hash-oracles exactly.
+
+    Scale: candidate/pair generation is per-doc map work (one array
+    filter + one adjacent-pair transform); the composite node key keeps
+    the graph a single edge relation — shuffles are pagerank's own
+    keyed joins, parallelism = tokens x docs, no per-doc driver loop.
+    """
+    from pdfmef_spark.operators.pagerank import pagerank
+
+    sep = "\x1f"
+    arr = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda t: (F.length(t) >= 4)
+        & t.rlike("^[a-z]+$")
+        & ~t.isin(*_KEYPHRASE_STOP),
+    )
+    d = docs.select(F.col(id_col).cast("string").alias("doc"), arr.alias("toks"))
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("a"),
+                F.element_at(F.col("toks"), i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    e = (
+        d.select("doc", F.explode(pairs).alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))
+        .select(
+            F.concat_ws(sep, F.col("doc"), F.col("p.a")).alias("src"),
+            F.concat_ws(sep, F.col("doc"), F.col("p.b")).alias("dst"),
+        )
+    )
+    bidir = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(bidir, iterations=iterations)
+    parsed = ranks.select(
+        F.substring_index("node", sep, 1).cast("long").alias(id_col),
+        F.substring_index("node", sep, -1).alias("phrase"),
+        "pr",
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("pr"), "phrase")
+    return (
+        parsed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "phrase", "pr", "rank")
+    )

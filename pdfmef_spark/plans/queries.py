@@ -989,6 +989,77 @@ def doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.keyphrases_topk(d, k=5).orderBy("doc_id", "rank")
 
 
+def _textrank_sql(k: int = 5, iterations: int = 3) -> str:
+    """TextRank oracle: the same candidate filter / consecutive-pair
+    edges as the Spark operator, wrapped in pagerank_oracle_sql's
+    unrolled iterative CTEs (bit-identical pr doubles), then the same
+    (pr desc, phrase) top-k window."""
+    from pdfmef_spark.operators.pagerank import pagerank_oracle_sql
+    from pdfmef_spark.operators.textstats import keyphrase_stoplist
+
+    stop = ", ".join(f"'{w}'" for w in keyphrase_stoplist())
+    edges_sql = f"""
+      WITH t0 AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc,
+               regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+        FROM documents
+      ),
+      toks AS (
+        SELECT doc, unnest(arr) AS tok, generate_subscripts(arr, 1) AS ord
+        FROM t0
+      ),
+      cand AS (
+        SELECT doc, tok, row_number() OVER (PARTITION BY doc ORDER BY ord) AS rn
+        FROM toks
+        WHERE len(tok) >= 4 AND regexp_full_match(tok, '[a-z]+')
+          AND tok NOT IN ({stop})
+      ),
+      adj AS (
+        SELECT a.doc, a.tok AS ta, b.tok AS tb
+        FROM cand a JOIN cand b ON a.doc = b.doc AND b.rn = a.rn + 1
+        WHERE a.tok <> b.tok
+      ),
+      und AS (
+        SELECT doc || chr(31) || ta AS src, doc || chr(31) || tb AS dst FROM adj
+      )
+      SELECT src, dst FROM und
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM und
+    """
+    pr_sql = pagerank_oracle_sql(edges_sql, iterations=iterations)
+    return f"""
+    WITH ranks AS (
+      {pr_sql}
+    ),
+    parsed AS (
+      SELECT CAST(string_split(node, chr(31))[1] AS BIGINT) AS doc_id,
+             string_split(node, chr(31))[2] AS phrase, pr
+      FROM ranks
+    ),
+    topk AS (
+      SELECT doc_id, phrase, pr,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY pr DESC, phrase) AS rank
+      FROM parsed
+    )
+    SELECT doc_id, phrase, pr, rank FROM topk WHERE rank <= {k}
+    ORDER BY doc_id, rank
+    """
+
+
+@_register("doc_keyphrases_textrank", oracle=_textrank_sql())
+def doc_keyphrases_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ranked keyphrases (TextRank over token co-occurrence,
+    reusing the pagerank operator) — the graph-based member of the
+    reference's keyphrase method family (config.py:25-28) beside the
+    frequency-based doc_keyphrases. Fully hash-oracled including the
+    iterative float ranks."""
+    from pdfmef_spark.operators import textstats
+
+    d = _t(spark, sf_dir, "documents")
+    return textstats.textrank_keyphrases(d, k=5).orderBy("doc_id", "rank")
+
+
 def _classifier_oracle() -> str:
     from pdfmef_spark.operators.classifier import gate_oracle_sql
 
