@@ -134,6 +134,34 @@ def main() -> None:
             "sec": round(time.time() - t0, 3),
         }
 
+        # exact vs approx cost gap for the documented 100 TB swap-ins:
+        # HLL reach (no neighbor-pair dedup shuffle) and sketch quantiles
+        # (no per-group sort buffer) on identical inputs
+        from pdfmef_spark.operators import reach as reach_op
+
+        t0 = time.time()
+        reach_op.two_hop_reach(g, hub_cap=64).count()
+        exact_reach = round(time.time() - t0, 3)
+        t0 = time.time()
+        reach_op.two_hop_reach(g, hub_cap=64, approx_rsd=0.02).count()
+        hll_reach = round(time.time() - t0, 3)
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        t0 = time.time()
+        ev.groupBy("event_type").agg(
+            *[F.percentile("value", F.lit(q)).alias(f"p{q}") for q in (0.25, 0.5, 0.9, 0.99)]
+        ).collect()
+        exact_q = round(time.time() - t0, 3)
+        t0 = time.time()
+        ev.groupBy("event_type").agg(
+            *[F.percentile_approx("value", F.lit(q), F.lit(10000)).alias(f"p{q}")
+              for q in (0.25, 0.5, 0.9, 0.99)]
+        ).collect()
+        approx_q = round(time.time() - t0, 3)
+        out["exact_vs_approx"] = {
+            "reach_exact_sec": exact_reach, "reach_hll_sec": hll_reach,
+            "quantiles_exact_sec": exact_q, "quantiles_approx_sec": approx_q,
+        }
+
     # attach the latest scaling evidence if tools/scaling_run.py has run
     scal = "/root/repo/.cache/scaling_result.json"
     if os.path.exists(scal):

@@ -31,12 +31,22 @@ def two_hop_reach(
     dst: str = "dst",
     hub_cap: int | None = None,
     materialize: bool = True,
+    approx_rsd: float | None = None,
 ) -> DataFrame:
     """-> (node, reach2): distinct nodes within <= 2 hops, self excluded.
 
     Hop 1 always counts every neighbor; ``hub_cap`` only limits which
     INTERMEDIATE nodes are expanded for hop 2 (a hub still appears in
-    its neighbors' reach — it just doesn't bridge them)."""
+    its neighbors' reach — it just doesn't bridge them).
+
+    ``approx_rsd`` switches the final distinct-count to a HyperLogLog++
+    sketch (`approx_count_distinct` with that relative standard
+    deviation) — the HyperBall-style 100 TB path: the exact variant
+    must SHUFFLE every (node, neighbor) pair to dedup before counting,
+    the sketch variant partially aggregates fixed-size HLL registers
+    map-side, so the shuffle carries O(nodes x register_bytes)
+    regardless of neighborhood size. Tolerance-gated in pytest; the
+    exact variant stays the hash-oracled one."""
     und = undirected_simple(edges, src, dst)
     if materialize:
         und = und.localCheckpoint(eager=True)
@@ -54,10 +64,16 @@ def two_hop_reach(
     x = one.select(F.col("node"), F.col("nb").alias("m"))
     y = mid.select(F.col("node").alias("m"), F.col("nb").alias("nb2"))
     two = x.join(y, "m").select("node", F.col("nb2").alias("nb"))
+    both = one.unionAll(two).filter(F.col("node") != F.col("nb"))
+    if approx_rsd is not None:
+        # no pre-dedup: HLL absorbs duplicate neighbors inside the sketch
+        return both.groupBy("node").agg(
+            F.approx_count_distinct("nb", rsd=approx_rsd)
+            .cast("bigint")
+            .alias("reach2")
+        )
     return (
-        one.unionAll(two)
-        .filter(F.col("node") != F.col("nb"))
-        .distinct()
+        both.distinct()
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("reach2"))
     )

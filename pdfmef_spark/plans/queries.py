@@ -2038,6 +2038,53 @@ def event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(*aggs).orderBy("event_type")
 
 
+@_register("event_value_quantiles_approx")  # rows-only: sketch values are
+# engine-specific by design; accuracy is tolerance-gated in pytest
+def event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB swap-in beside event_value_quantiles: percentile_approx
+    (Greenwald-Khanna sketch, accuracy=10000) — single pass, fixed-size
+    mergeable state, no per-group sort buffer. pytest gates each sketch
+    quantile against the exact percentile; bench records the cost gap."""
+    e = _t(spark, sf_dir, "events")
+    aggs = [
+        F.round(
+            F.percentile_approx("value", F.lit(q), F.lit(10000)), 6
+        ).alias(f"p{int(q * 100)}")
+        for q in (0.25, 0.50, 0.90, 0.99)
+    ]
+    return e.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+@_register("kg_two_hop_reach_hll")  # rows-only: HLL estimates are
+# engine-specific; error is tolerance-gated in pytest vs the exact reach
+def kg_two_hop_reach_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB swap-in beside kg_two_hop_reach (HyperBall-style):
+    approx_count_distinct(rsd=0.02) replaces the exact neighbor dedup,
+    so the count shuffle carries fixed-size HLL registers instead of
+    every (node, neighbor) pair. Same hub-capped join structure."""
+    from pdfmef_spark.operators import extract, reach, triples as triples_op
+    from pdfmef_spark.sources import store
+
+    pages = store.read_pages(spark, _sf(sf_dir))
+    trip = triples_op.extract_triples(extract.extract_pages(pages))
+    m = (
+        triples_op.mentions_from_triples(trip)
+        .filter(F.col("type") == "PERSON")
+        .select("url", "surface")
+        .distinct()
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.url") == F.col("b.url")) & (F.col("a.surface") < F.col("b.surface")),
+    ).select(F.col("a.surface").alias("src"), F.col("b.surface").alias("dst"))
+    return (
+        reach.two_hop_reach(pairs, hub_cap=40, approx_rsd=0.02)
+        .orderBy(F.desc("reach2"), "node")
+        .limit(100)
+    )
+
+
 @_register(
     "kg_entity_cooccurrence",
     oracle=f"""

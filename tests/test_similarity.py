@@ -86,3 +86,51 @@ def test_ivf_256_centroids_scales(spark):
     plan = ivf._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert len(plan) < 200_000  # unrolled 256x64 literals would be megabytes
+
+
+def test_approx_quantiles_within_tolerance(spark):
+    """percentile_approx(accuracy=10000) must land within 1% relative
+    error of the exact percentile on the events table (the 100 TB
+    swap-in contract for event_value_quantiles_approx). Checked at
+    sf0.01: the sketch returns an actual data element while the exact
+    percentile interpolates, so on a tiny per-group sample (sf0.001,
+    tail quantiles of a handful of rows) the DEFINITIONAL gap alone is
+    tens of percent — the error contract is only meaningful once groups
+    have enough mass, which is exactly the regime the sketch exists for."""
+    from pdfmef_spark.plans import queries as Q
+
+    sf_dir = "/root/testdata/sf0.01"
+    exact = {r.event_type: r for r in Q.catalog()["event_value_quantiles"](spark, sf_dir).collect()}
+    approx = {r.event_type: r for r in Q.catalog()["event_value_quantiles_approx"](spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for et, e in exact.items():
+        a = approx[et]
+        for q in ("p25", "p50", "p90", "p99"):
+            ev, av = getattr(e, q), getattr(a, q)
+            denom = max(abs(ev), 1e-9)
+            assert abs(av - ev) / denom <= 0.01, (et, q, ev, av)
+
+
+def test_hll_reach_within_tolerance(spark):
+    """approx_count_distinct(rsd=0.02) reach must track the exact reach:
+    every node within 10% relative error, mean error under 3% (the
+    HyperBall swap-in contract for kg_two_hop_reach_hll)."""
+    import pyspark.sql.functions as F
+
+    from pdfmef_spark.operators import reach
+
+    # deterministic random-ish graph, big enough for real HLL paths
+    g = spark.range(30_000).select(
+        F.pmod(F.xxhash64("id"), F.lit(4000)).alias("src"),
+        F.pmod(F.xxhash64(F.col("id") + 3), F.lit(4000)).alias("dst"),
+    )
+    exact = reach.two_hop_reach(g, hub_cap=None).withColumnRenamed("reach2", "e")
+    approx = reach.two_hop_reach(g, hub_cap=None, approx_rsd=0.02).withColumnRenamed(
+        "reach2", "a"
+    )
+    j = exact.join(approx, "node").select(
+        (F.abs(F.col("a") - F.col("e")) / F.col("e")).alias("err")
+    )
+    stats = j.agg(F.max("err").alias("mx"), F.avg("err").alias("mean")).first()
+    assert stats.mx <= 0.10, stats
+    assert stats.mean <= 0.03, stats
