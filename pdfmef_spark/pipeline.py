@@ -212,12 +212,46 @@ def _append_manifest(out_dir: str, records: list[tuple]) -> None:
     pq.write_table(table, f"{mp}/manifest-{uuid.uuid4().hex}.parquet")
 
 
+def refresh_analytics(
+    spark: SparkSession,
+    out_dir: str,
+    run: "PipelineRun",
+    run_id: str,
+    iterations: int = 3,
+) -> None:
+    """Recompute graph analytics (PageRank over the materialized edge
+    table) into the ``pagerank`` stage dir.
+
+    Contract (the incremental-analytics decision, made explicit):
+    analytics are RECOMPUTED from the merged graph each refresh, not
+    incrementally maintained. Rationale: entity canonicalization can
+    merge components across batches, changing historical edge endpoints
+    — rank deltas are not local to the new batch, and incremental
+    PageRank maintenance (e.g. Monte-Carlo residual push) trades exact
+    cross-engine reproducibility for speed the edge-table size doesn't
+    yet demand. The recompute cost is measured per batch (a StageResult
+    like any stage, and a bench row), so the point where maintenance
+    becomes worth its complexity is a number, not a guess."""
+    from pdfmef_spark.operators import pagerank as pr_op
+
+    edges = spark.read.parquet(f"{out_dir}/edges")
+    t0 = time.time()
+    df = _write_stage(
+        spark, out_dir, run_id, "pagerank",
+        pr_op.pagerank(edges, iterations=iterations),
+    )
+    run.results["pagerank"] = StageResult(
+        "pagerank", df, recomputed=True, seconds=round(time.time() - t0, 2)
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
     out_dir: str,
     run_id: str | None = None,
     link_threshold: float = 0.70,
+    analytics: bool = False,
 ) -> PipelineRun:
     """Run (or resume) the full pipeline; every stage idempotent."""
     from pdfmef_spark.operators import components, extract, graph, linking, triples as triples_op
@@ -282,6 +316,8 @@ def run_pipeline(
         stage("edges", lambda: edges_df, partition_by=["pred"])
     finally:
         keys.unpersist()
+    if analytics:
+        refresh_analytics(spark, out_dir, run, run_id)
     return run
 
 
@@ -291,6 +327,7 @@ def run_pipeline_incremental(
     out_dir: str,
     run_id: str | None = None,
     link_threshold: float = 0.70,
+    analytics: bool = False,
 ) -> PipelineRun:
     """Incremental KG update: extract only NEW pages, rebuild the graph.
 
@@ -417,6 +454,10 @@ def run_pipeline_incremental(
         tail_stage("edges", lambda: edges_df, partition_by=["pred"])
     finally:
         keys.unpersist()
+
+    if analytics:
+        # recompute-from-merged-graph contract: see refresh_analytics
+        refresh_analytics(spark, out_dir, run, run_id)
 
     # ledger commit LAST: a crash anywhere above leaves the claim
     # unrecorded and the whole batch re-runs idempotently

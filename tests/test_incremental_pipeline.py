@@ -103,3 +103,23 @@ def test_vocabulary_from_batch_deltas_equals_full(spark, smoke_pages, tmp_path):
         ).collect()
     }
     assert merged == full
+
+
+def test_incremental_analytics_equals_from_scratch(spark, smoke_pages, tmp_path):
+    """analytics=True: after an incremental batch, the refreshed PageRank
+    table must be bit-identical to ranks computed on a from-scratch run
+    over the same snapshot (the recompute-from-merged-graph contract,
+    pipeline.refresh_analytics)."""
+    pages = smoke_pages
+    first = pages.filter(F.pmod(F.xxhash64("url"), F.lit(5)) != 0)
+
+    inc_dir = str(tmp_path / "inc")
+    full_dir = str(tmp_path / "full")
+    P.run_pipeline_incremental(spark, first, inc_dir)
+    inc = P.run_pipeline_incremental(spark, pages, inc_dir, analytics=True)
+    assert inc.results["pagerank"].seconds is not None
+
+    full = P.run_pipeline(spark, pages, full_dir, analytics=True)
+    got = {(r.node, r.pr) for r in inc.df("pagerank").collect()}
+    want = {(r.node, r.pr) for r in full.df("pagerank").collect()}
+    assert got == want
