@@ -162,6 +162,45 @@ def main() -> None:
             "quantiles_exact_sec": exact_q, "quantiles_approx_sec": approx_q,
         }
 
+        # skewed-graph stress (round-4 task): the uniform random graph above
+        # never exercises hub skew, but the corpus plants hub entities and
+        # the reference's `cites` graph is Zipfian. Same 1.2M edges, dst
+        # drawn with a power-law concentration so the top hub's degree is
+        # ~n^0.8 — the analytics family must finish without a straggler
+        # blow-up (algebraic partial aggregation absorbs hub fan-in in
+        # pagerank; degree orientation bounds wedges; the reach hub_cap
+        # refuses to expand hubs).
+        ug = spark.range(n_edges).select(
+            F.concat(F.lit("n"), F.pmod(F.xxhash64("id"), F.lit(n_nodes))).alias("src"),
+            F.concat(
+                F.lit("n"),
+                F.floor(
+                    F.lit(float(n_nodes))
+                    * F.pow(
+                        F.pmod(F.xxhash64(F.col("id") + 13), F.lit(1_000_000))
+                        / F.lit(1_000_000.0),
+                        F.lit(4.0),
+                    )
+                ).cast("long"),
+            ).alias("dst"),
+        )
+        hub_deg = (
+            ug.select(F.col("dst").alias("n")).groupBy("n").count()
+            .agg(F.max("count")).first()[0]
+        )
+        skew: dict = {"edges": n_edges, "nodes": n_nodes, "max_degree": int(hub_deg)}
+        t0 = time.time()
+        comp = components.connected_components(ug, driver_cutoff=0)
+        skew["cc_components"] = comp.select("component").distinct().count()
+        skew["cc_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        pr_op.pagerank(ug, iterations=5).orderBy(F.desc("pr")).limit(1).collect()
+        skew["pagerank_sec"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reach_op.two_hop_reach(ug, hub_cap=64).count()
+        skew["reach_capped_sec"] = round(time.time() - t0, 3)
+        out["skewed_graph"] = skew
+
     # attach the latest scaling evidence if tools/scaling_run.py has run
     scal = "/root/repo/.cache/scaling_result.json"
     if os.path.exists(scal):

@@ -62,10 +62,15 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-# Driver fast-path bound: 100k string-pair edges is a few MB of driver
-# heap — comfortably safe. Callers with known-small graphs can opt up;
-# above it only the distributed iterative-join path makes sense anyway.
-DRIVER_CUTOFF = 100_000
+# Driver fast-path bound: 500k string-pair edges is ~50 MB of driver
+# heap and ~1 s of union-find — comfortably safe, and ~10 shuffle rounds
+# (each a fixed scheduling latency that does NOT shrink with executor
+# count) cheaper than the star iterations. Measured in the round-4
+# scaling work: at 167k link edges the distributed path cost a flat
+# ~9 s at any core count, the driver path ~2 s. On a real cluster size
+# this to driver memory; the distributed path is exercised separately
+# (bench cc_distributed, driver_cutoff=0) and tested identical.
+DRIVER_CUTOFF = 500_000
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:

@@ -127,22 +127,34 @@ def _bucket_pairs_capped(keyed: DataFrame, cap_obs=None) -> DataFrame:
     loss must be a measured number in the run manifest, not an
     assumption (the reference hits the same hub problem silently on its
     `cites` edges, parscit.py:19-44).
+
+    The cap is TWO-PHASE (round 4): an algebraic per-bucket count first
+    (map-side partials absorb hub keys), then a left-semi join keeps only
+    surviving buckets' rows before collect_set runs. The previous shape
+    collected the FULL member array of a hot bucket into one reducer
+    task and then dropped it — a straggler at bench scale (a planted
+    83k-member block serializes one task) and an OOM at web scale (a
+    10M-member stopword block would materialize a 10M-element array).
+    The count and the collect shuffle hash the same (type, bkey) key.
     """
-    grouped = keyed.groupBy("type", "bkey").agg(
-        F.array_sort(F.collect_set("norm")).alias("members")
-    )
     cap = F.when(
         F.col("bkey").startswith("b:"), F.lit(BUCKET_CAP)
     ).otherwise(F.lit(TOKEN_BLOCK_CAP))
+    # keyed is distinct in (type, bkey, norm) — each norm tags each of
+    # its block keys exactly once — so count(*) == member count
+    sizes = keyed.groupBy("type", "bkey").agg(F.count(F.lit(1)).alias("n"))
     if cap_obs is not None:
-        over = F.size("members") > cap
-        grouped = grouped.observe(
+        over = F.col("n") > cap
+        sizes = sizes.observe(
             cap_obs,
             F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("buckets_dropped"),
-            F.sum(F.when(over, F.size("members")).otherwise(0)).cast("long").alias("members_dropped"),
+            F.sum(F.when(over, F.col("n")).otherwise(0)).cast("long").alias("members_dropped"),
         )
-    small = grouped.filter(
-        (F.size("members") >= 2) & (F.size("members") <= cap)
+    keep = sizes.filter((F.col("n") >= 2) & (F.col("n") <= cap)).select("type", "bkey")
+    small = (
+        keyed.join(keep, ["type", "bkey"], "left_semi")
+        .groupBy("type", "bkey")
+        .agg(F.array_sort(F.collect_set("norm")).alias("members"))
     )
     pairs = small.select(
         F.col("type"),
