@@ -13,7 +13,11 @@ pure-SQL oracles. Every catalog entry carries a full hash oracle —
 including kg_entity_links, whose greedy Python pair scorer is not
 SQL-expressible but whose end-to-end effect is: post-CC cluster
 membership over the labeled golden surfaces vs the recursive-CTE
-transitive closure of golden_links WHERE same_entity.
+transitive closure of golden_links WHERE same_entity — EXCEPT the two
+deliberate approximation variants (event_value_quantiles_approx,
+kg_two_hop_reach_hll): sketch outputs are engine-specific by design,
+so they take the rows-only check and are tolerance-gated against
+their exact twins in pytest (test_similarity).
 """
 
 from __future__ import annotations
