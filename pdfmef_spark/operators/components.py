@@ -76,23 +76,44 @@ DRIVER_CUTOFF = 500_000
 def _driver_union_find(edges: DataFrame) -> DataFrame:
     """Small-graph fast path: collect edges, union-find on the driver,
     parallelize assignments back. Identical result to the iterative-join
-    path (same min-representative), ~10 shuffle rounds cheaper."""
-    parent: dict[str, str] = {}
+    path (same min-representative), ~10 shuffle rounds cheaper.
 
-    def find(x: str) -> str:
-        parent.setdefault(x, x)
+    Driver work is a FLAT cost at any executor count, so it is kept
+    minimal: Arrow transfer (toPandas), pd.factorize to int codes (C
+    speed), an int-array union-find whose union keeps the side whose
+    STRING is lexicographically smaller (the min-representative
+    contract), and an Arrow-backed return. The previous string-dict +
+    row-list shape cost ~10 s at 267k edges regardless of cores; this
+    is ~1 s."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = edges.toPandas()
+    both = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+    codes, uniq = pd.factorize(both)
+    uniq = np.asarray(uniq)
+    n = len(pdf)
+    a_codes, b_codes = codes[:n], codes[n:]
+    parent = np.arange(len(uniq), dtype=np.int64)
+
+    def find(x: int) -> int:
         while parent[x] != x:
             parent[x] = parent[parent[x]]
             x = parent[x]
         return x
 
-    rows = edges.collect()
-    for r in rows:
-        ra, rb = find(r.src), find(r.dst)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    assign = [(x, find(x)) for x in parent]
-    return edges.sparkSession.createDataFrame(assign, "node string, component string")
+    for x, y in zip(a_codes, b_codes):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            # representative = lexicographic min STRING of the component
+            if uniq[rx] <= uniq[ry]:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+
+    roots = np.array([find(i) for i in range(len(uniq))])
+    out = pd.DataFrame({"node": uniq, "component": uniq[roots]})
+    return edges.sparkSession.createDataFrame(out)
 
 
 def connected_components(links: DataFrame, driver_cutoff: int = DRIVER_CUTOFF) -> DataFrame:

@@ -295,6 +295,12 @@ def run_pipeline(
     # FOUR downstream write jobs (links, assignments, nodes, edges)
     # embed it in their plans. persist() computes that shuffle once.
     keys = linking.surface_keys(mentions).persist()
+    # broadcast the surface->entity map only while it is genuinely small:
+    # building a multi-hundred-k-row broadcast is driver work that repeats
+    # per write job and does not shrink with executor count (and at
+    # 10^12-doc vocabulary it would not fit at all — the shuffle join
+    # with AQE skew handling is the scale path)
+    broadcast_map = keys.limit(100_001).count() <= 100_000
     cap_obs = Observation(f"links_caps_{run_id}")
     try:
         links = stage(
@@ -311,7 +317,9 @@ def run_pipeline(
         # materialize_graph is pure plan construction (no jobs run until a
         # stage writes), so building both outputs up front costs nothing on
         # resume and each stage writes its own DataFrame — no hand-off state
-        nodes_df, edges_df = graph.materialize_graph(triples, keys, assignments)
+        nodes_df, edges_df = graph.materialize_graph(
+            triples, keys, assignments, broadcast_map=broadcast_map
+        )
         stage("nodes", lambda: nodes_df, partition_by=["type"])
         stage("edges", lambda: edges_df, partition_by=["pred"])
     finally:
@@ -449,7 +457,10 @@ def run_pipeline_incremental(
         assignments = tail_stage(
             "assignments", lambda: components.assign_components(keys, links)
         )
-        nodes_df, edges_df = graph.materialize_graph(trip_full, keys, assignments)
+        nodes_df, edges_df = graph.materialize_graph(
+            trip_full, keys, assignments,
+            broadcast_map=keys.limit(100_001).count() <= 100_000,
+        )
         tail_stage("nodes", lambda: nodes_df, partition_by=["type"])
         tail_stage("edges", lambda: edges_df, partition_by=["pred"])
     finally:
