@@ -128,31 +128,40 @@ def _bucket_pairs_capped(keyed: DataFrame, cap_obs=None) -> DataFrame:
     assumption (the reference hits the same hub problem silently on its
     `cites` edges, parscit.py:19-44).
 
-    The cap is TWO-PHASE (round 4): an algebraic per-bucket count first
-    (map-side partials absorb hub keys), then a left-semi join keeps only
-    surviving buckets' rows before collect_set runs. The previous shape
-    collected the FULL member array of a hot bucket into one reducer
-    task and then dropped it — a straggler at bench scale (a planted
-    83k-member block serializes one task) and an OOM at web scale (a
-    10M-member stopword block would materialize a 10M-element array).
-    The count and the collect shuffle hash the same (type, bkey) key.
+    The cap is applied BEFORE member collection (round 4): a window
+    count over (type, bkey) sizes every bucket in one pass, rows of
+    over-cap buckets are filtered, and only survivors reach
+    collect_set. The previous shape collected the FULL member array of
+    a hot bucket into one reducer task and then dropped it — a
+    straggler at bench scale (a planted 83k-member block serializes one
+    task) and an OOM at web scale (a 10M-member stopword block would
+    materialize a 10M-element array). The window and the collect_set
+    group on the same (type, bkey) key, so the whole thing is ONE
+    exchange and the signature subtree upstream is computed once (a
+    count-then-semi-join variant was measured and replaced: its two
+    plan branches recomputed the MinHash subtree twice per action).
     """
+    from pyspark.sql import Window as W
+
     cap = F.when(
         F.col("bkey").startswith("b:"), F.lit(BUCKET_CAP)
     ).otherwise(F.lit(TOKEN_BLOCK_CAP))
+    w = W.partitionBy("type", "bkey")
     # keyed is distinct in (type, bkey, norm) — each norm tags each of
-    # its block keys exactly once — so count(*) == member count
-    sizes = keyed.groupBy("type", "bkey").agg(F.count(F.lit(1)).alias("n"))
+    # its block keys exactly once — so the window count == member count
+    sized = keyed.withColumn("n", F.count(F.lit(1)).over(w)).withColumn(
+        "rn", F.row_number().over(w.orderBy("norm"))
+    )
     if cap_obs is not None:
         over = F.col("n") > cap
-        sizes = sizes.observe(
+        sized = sized.observe(
             cap_obs,
-            F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("buckets_dropped"),
-            F.sum(F.when(over, F.col("n")).otherwise(0)).cast("long").alias("members_dropped"),
+            F.sum(F.when(over & (F.col("rn") == 1), 1).otherwise(0))
+            .cast("long").alias("buckets_dropped"),
+            F.sum(F.when(over, 1).otherwise(0)).cast("long").alias("members_dropped"),
         )
-    keep = sizes.filter((F.col("n") >= 2) & (F.col("n") <= cap)).select("type", "bkey")
     small = (
-        keyed.join(keep, ["type", "bkey"], "left_semi")
+        sized.filter((F.col("n") >= 2) & (F.col("n") <= cap))
         .groupBy("type", "bkey")
         .agg(F.array_sort(F.collect_set("norm")).alias("members"))
     )

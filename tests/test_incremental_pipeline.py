@@ -123,3 +123,21 @@ def test_incremental_analytics_equals_from_scratch(spark, smoke_pages, tmp_path)
     got = {(r.node, r.pr) for r in inc.df("pagerank").collect()}
     want = {(r.node, r.pr) for r in full.df("pagerank").collect()}
     assert got == want
+
+
+def test_incremental_first_batch_with_empty_stage(spark, tmp_path):
+    """A first batch whose pages yield ZERO rows for a downstream stage
+    (no relation sentences -> no triples) must not fail the read-back:
+    the stage comes back as an empty typed DataFrame (ADVICE r3)."""
+    pages = spark.createDataFrame(
+        [("https://e.org/1",
+          b"<html><head><title>t</title></head><body><main>"
+          b"<h1>plain</h1><p>no relations here at all.</p></main></body></html>",
+          "en")],
+        "url string, html binary, lang string",
+    )
+    run = P.run_pipeline_incremental(spark, pages, str(tmp_path / "inc"))
+    # title block yields a hasTitle triple, so force the truly-empty case
+    # through the mentions stage (title objects are DOC-attributes only)
+    assert run.df("mentions").count() == 0
+    assert "surface" in run.df("mentions").columns
