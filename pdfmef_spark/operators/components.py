@@ -111,9 +111,14 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             else:
                 parent[rx] = ry
 
-    roots = np.array([find(i) for i in range(len(uniq))])
+    roots = np.array([find(i) for i in range(len(uniq))], dtype=np.int64)
     out = pd.DataFrame({"node": uniq, "component": uniq[roots]})
-    return edges.sparkSession.createDataFrame(out)
+    # explicit schema: an empty pandas frame (zero-edge graph) cannot
+    # infer one, and object-dtype strings should not round-trip via
+    # sampling anyway
+    return edges.sparkSession.createDataFrame(
+        out, "node string, component string"
+    )
 
 
 def connected_components(links: DataFrame, driver_cutoff: int = DRIVER_CUTOFF) -> DataFrame:

@@ -149,12 +149,15 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("node", F.col("rank").alias("pr"))
-    # materialize the final ranks so the cached edge/degree/node
-    # relations can be released — the returned DataFrame reads its own
-    # checkpoint blocks, not the loop's lineage. Unconditional: even
-    # the checkpoint_every=0 debug path must not leak three cached
-    # relations for the session lifetime.
-    out = out.localCheckpoint(eager=True)
+    if checkpoint_every:
+        # materialize the final ranks so the cached edge/degree/node
+        # relations can be released — the returned DataFrame reads its
+        # own checkpoint blocks, not the loop's lineage
+        out = out.localCheckpoint(eager=True)
+    # unpersist UNCONDITIONALLY — the checkpoint_every=0 path (debug /
+    # plan inspection only) must not leak three cached relations for
+    # the session lifetime; its un-checkpointed lineage simply
+    # recomputes them if the caller executes the plan
     for df in (e, nodes, deg):
         df.unpersist()
     return out

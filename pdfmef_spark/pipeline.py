@@ -160,8 +160,10 @@ def _write_stage(
             (run_id, stage, pid, "partition_done", None, n_rows, None, None, None)
         )
     records.append(
-        (run_id, stage, -1, "complete", None, int(totals["rows_out"]),
-         int(totals["n_errors"]), format(int(totals["sha_long"]) & (2**64 - 1), "x"),
+        # sum-style observation totals are NULL on a zero-row write
+        (run_id, stage, -1, "complete", None, int(totals["rows_out"] or 0),
+         int(totals["n_errors"] or 0),
+         format(int(totals["sha_long"] or 0) & (2**64 - 1), "x"),
          metrics_json)
     )
     _append_manifest(out_dir, records)
@@ -430,8 +432,17 @@ def run_pipeline_incremental(
     finally:
         extracted_d.unpersist()
 
+    def _merged(stage_name: str) -> DataFrame:
+        # read EVERY batch partition; a stage whose batches were all
+        # zero-row has no parquet files yet — fall back to the typed
+        # empty frame the write step returned (ADVICE r3)
+        try:
+            return spark.read.parquet(f"{out_dir}/{stage_name}")
+        except Exception:
+            return run.results[stage_name].df
+
     # global tail over the MERGED corpus (every batch partition)
-    trip_full = spark.read.parquet(f"{out_dir}/triples").drop("batch_id")
+    trip_full = _merged("triples").drop("batch_id")
 
     def tail_stage(name: str, build, partition_by=None) -> DataFrame:
         t0 = time.time()
@@ -444,7 +455,7 @@ def run_pipeline_incremental(
         return df
 
     keys = (
-        spark.read.parquet(f"{out_dir}/surfaces")
+        _merged("surfaces")
         .groupBy("type", "norm", "surface")
         .agg(F.sum("freq").alias("freq"))
         .persist()

@@ -61,6 +61,7 @@ def run_upload_ingest(
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("array<string>").alias("links"),
         F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("array<string>").alias("figures"),
         F.lit(None).cast("int").alias("n_blocks"),
         "lang",
         F.col("upload_error").alias("error"),

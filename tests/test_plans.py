@@ -111,8 +111,11 @@ def test_candidate_pairs_single_groupby_shuffle(spark):
         linking.candidate_pairs(keys)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # exactly: norms-distinct, ONE (type, bkey) groupBy, pairs-distinct.
-    # The pre-unification shape re-ran the norms-distinct subtree and a
+    # exactly: the (type, norm) signature min-aggregate (Catalyst folds
+    # the norms-distinct into its partial phase), ONE (type, bkey)
+    # exchange shared by the window cap AND the member collect_set
+    # (same partitioning — no second shuffle), pairs-distinct. The
+    # pre-unification shape re-ran the norms-distinct subtree and a
     # groupBy per family: 7 exchanges.
     assert plan.count("Exchange hashpartitioning") == 3, plan[:2000]
 

@@ -22,8 +22,9 @@ def test_extract_never_raises_and_is_deterministic(s):
     out1 = extract_html_bytes(raw)
     out2 = extract_html_bytes(raw)
     assert out1 == out2
-    text, links, title, nb = out1
+    text, links, title, figures, nb = out1
     assert isinstance(text, str) and nb == len([b for b in text.split("\n") if b])
+    assert isinstance(figures, list)
 
 
 @settings(max_examples=300, deadline=None)
@@ -33,7 +34,7 @@ def test_relations_never_raise(s):
     for (subj, pred, obj, *_rest) in out:
         assert pred in {
             "hasTitle", "hasAuthor", "hasAbstract", "hasKeyword", "worksFor",
-            "locatedIn", "foundedBy", "affiliatedWith",
+            "locatedIn", "foundedBy", "affiliatedWith", "affiliationString",
         }
 
 
@@ -129,7 +130,7 @@ def test_worker_crash_is_error_row_not_task_failure(spark):
 
         if b"segv" in raw:
             _os._exit(137)  # simulate a native crash / OOM kill
-        return raw.decode(), [], None, 1
+        return raw.decode(), [], None, [], 1
 
     rows = [
         ("a", b"first ok", "en"),
@@ -156,7 +157,7 @@ def test_callable_timeout_error_is_data_not_deadline(spark):
     def flaky_extract(raw: bytes):
         if b"sock" in raw:
             raise TimeoutError("timed out reading upstream")
-        return raw.decode(), [], None, 1
+        return raw.decode(), [], None, [], 1
 
     rows = [("s", b"sock", "en"), ("ok", b"fine", "en")]
     pages = spark.createDataFrame(rows, "url string, html binary, lang string").coalesce(1)
