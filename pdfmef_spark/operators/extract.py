@@ -43,7 +43,15 @@ _ANY_TAG = re.compile(r"(?s)<[^>]*>")
 _TITLE_TAG = re.compile(r"(?is)<title[^>]*>(.*?)</title\s*>")
 _FIGURE = re.compile(r"(?is)<figure\b.*?</figure\s*>")
 _FIGCAPTION = re.compile(r"(?is)<figcaption[^>]*>(.*?)</figcaption\s*>")
-_IMG_ALT = re.compile(r'(?is)<img\s[^>]*?alt\s*=\s*"([^"]*)"')
+# alt values may be double-quoted, single-quoted, or unquoted — all
+# three are valid HTML and common on real web pages (ADVICE r4)
+_IMG_ALT = re.compile(
+    r"""(?is)<img\s[^>]*?alt\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))"""
+)
+
+
+def _alt_text(m: "re.Match[str]") -> str:
+    return next((g for g in m.groups() if g is not None), "")
 
 
 def _figure_captions(s: str) -> list[str]:
@@ -66,7 +74,7 @@ def _figure_captions(s: str) -> list[str]:
         raw = cm.group(1) if cm else None
         if raw is None:
             am = _IMG_ALT.search(sub)
-            raw = am.group(1) if am else None
+            raw = _alt_text(am) if am else None
         if raw:
             txt = " ".join(html_mod.unescape(_ANY_TAG.sub("", raw)).split())
             if txt:
@@ -74,7 +82,7 @@ def _figure_captions(s: str) -> list[str]:
     for m in _IMG_ALT.finditer(s):
         if any(a <= m.start() < b for a, b in fig_spans):
             continue
-        txt = " ".join(html_mod.unescape(m.group(1)).split())
+        txt = " ".join(html_mod.unescape(_alt_text(m)).split())
         if txt:
             caps.append((m.start(), txt))
     caps.sort(key=lambda t: t[0])

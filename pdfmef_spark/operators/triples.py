@@ -166,7 +166,15 @@ def extract_relations(text: str) -> list[tuple]:
                             # the full ordered pipe-joined affiliation
                             # string as a doc-style attribute
                             units = _parse_affil_units(obj)
-                            ordered = sorted(units, key=_affil_rank)
+                            if units and all(_affil_rank(u) > 0 for u in units):
+                                # no unit *looks* like an institution —
+                                # e.g. a real institution named 'Lincoln
+                                # Laboratory' (ADVICE r4). The suffix
+                                # heuristic would demote it; keep sentence
+                                # order instead, first unit = institution.
+                                ordered = units
+                            else:
+                                ordered = sorted(units, key=_affil_rank)
                             inst = ordered[0] if ordered else obj
                             out.append((subj, pred, inst, st, ot,
                                         off + s0, off + s0 + len(subj), 1.0))

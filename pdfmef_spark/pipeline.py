@@ -173,8 +173,13 @@ def _write_stage(
         # a zero-row stage under dynamic partition overwrite writes no
         # parquet files (first incremental batch with e.g. no triples),
         # so the read-back can't infer a schema — return an empty frame
-        # with the stage's own schema instead of failing the run
-        return spark.createDataFrame([], df.schema)
+        # with the stage's own schema instead of failing the run. Only
+        # valid when the write really observed zero rows: a read-back
+        # failure after a non-empty write (corrupt footer, store
+        # consistency) must fail loudly, not feed empty data downstream.
+        if int(totals["rows_out"] or 0) == 0:
+            return spark.createDataFrame([], df.schema)
+        raise
 
 
 def _append_manifest(out_dir: str, records: list[tuple]) -> None:
@@ -435,11 +440,18 @@ def run_pipeline_incremental(
     def _merged(stage_name: str) -> DataFrame:
         # read EVERY batch partition; a stage whose batches were all
         # zero-row has no parquet files yet — fall back to the typed
-        # empty frame the write step returned (ADVICE r3)
-        try:
-            return spark.read.parquet(f"{out_dir}/{stage_name}")
-        except Exception:
+        # empty frame the write step returned (ADVICE r3). The fallback
+        # is ONLY for the no-files case: any other read failure while
+        # earlier batches exist would silently rebuild the global graph
+        # from one batch, so re-raise everything else (ADVICE r4).
+        stage_dir = f"{out_dir}/{stage_name}"
+        if not any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(stage_dir)
+            for f in files
+        ):
             return run.results[stage_name].df
+        return spark.read.parquet(stage_dir)
 
     # global tail over the MERGED corpus (every batch partition)
     trip_full = _merged("triples").drop("batch_id")

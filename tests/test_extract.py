@@ -66,3 +66,16 @@ def test_extract_plan_is_pure_map(spark, smoke_pages):
     """The extract stage must not shuffle — scan -> ArrowEval/mapInPandas only."""
     plan = extract.extract_pages(smoke_pages)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_img_alt_quote_variants():
+    """alt= values in double quotes, single quotes, and unquoted are all
+    captured (valid HTML, common on real web pages — ADVICE r4)."""
+    html = (
+        '<p>x</p><img src="a.png" alt="Double quoted cap">'
+        "<img src='b.png' alt='Single quoted cap'>"
+        '<img src=c.png alt=Unquoted>'
+        '<figure><img alt=\'Fig alt\'><figcaption>Cap wins</figcaption></figure>'
+    )
+    caps = extract._figure_captions(html)
+    assert caps == ["Double quoted cap", "Single quoted cap", "Unquoted", "Cap wins"]

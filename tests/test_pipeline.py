@@ -112,3 +112,30 @@ def test_graph_tables_partitioned_and_pruned(spark, run):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(pred" in plan, plan[:1500]
     assert df.count() > 0
+
+
+def test_write_stage_readback_failure_nonempty_raises(spark, tmp_path, monkeypatch):
+    """The zero-row empty-frame fallback must NOT swallow a read-back
+    failure after a write that observed rows: that would silently feed
+    empty data downstream (ADVICE r4). Non-empty write + broken
+    read-back => loud failure; zero-row write + broken read-back =>
+    typed empty frame."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    empty = spark.createDataFrame([], "id long, v string")
+
+    real_parquet = DataFrameReader.parquet
+
+    def broken(self, *paths, **kw):
+        raise RuntimeError("simulated read-back failure")
+
+    out = str(tmp_path / "ws")
+    # zero-row write: fallback returns the typed empty frame
+    monkeypatch.setattr(DataFrameReader, "parquet", broken)
+    got = P._write_stage(spark, out, "r1", "s_empty", empty)
+    assert got.count() == 0 and got.schema == empty.schema
+    # non-empty write: the same failure must propagate
+    with pytest.raises(Exception, match="simulated read-back failure"):
+        P._write_stage(spark, out, "r1", "s_full", df)
+    monkeypatch.setattr(DataFrameReader, "parquet", real_parquet)

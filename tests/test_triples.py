@@ -103,3 +103,23 @@ def test_affiliation_ordering_exact(spark, smoke_pages):
     for r in rows:
         ranks = [_affil_rank(u) for u in r.obj.split(" | ")]
         assert ranks == sorted(ranks), r.obj
+
+
+def test_affil_all_units_ranked_keeps_sentence_order():
+    """If every unit matches a dept/lab suffix (e.g. a real institution
+    named 'Lincoln Laboratory'), the suffix heuristic must not demote it:
+    sentence order is kept and the first unit is the institution
+    (ADVICE r4 guard on the tei.py:124-143 comparator analog)."""
+    text = ("T\nAda Lovelace is affiliated with the Lincoln Laboratory, "
+            "the Computing Department.")
+    rels = triples_op.extract_relations(text)
+    by_pred = {p: o for (_, p, o, *_rest) in rels}
+    assert by_pred["affiliatedWith"] == "Lincoln Laboratory"
+    assert by_pred["affiliationString"] == "Lincoln Laboratory | Computing Department"
+    # and the normal case still rank-sorts: institution first
+    text2 = ("T\nAda Lovelace is affiliated with the Computing Department, "
+             "Acme University.")
+    rels2 = triples_op.extract_relations(text2)
+    by_pred2 = {p: o for (_, p, o, *_rest) in rels2}
+    assert by_pred2["affiliatedWith"] == "Acme University"
+    assert by_pred2["affiliationString"] == "Acme University | Computing Department"
