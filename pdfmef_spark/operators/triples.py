@@ -189,15 +189,42 @@ def extract_relations(text: str) -> list[tuple]:
     return out
 
 
-def extract_triples(extracted: DataFrame, lang_gate: str | None = "en") -> DataFrame:
+def extract_triples(
+    extracted: DataFrame,
+    lang_gate: str | None = "en",
+    row_timeout: float | None = None,
+    relation_fn=extract_relations,
+) -> DataFrame:
     """EXTRACTED -> TRIPLES. Pure map stage (no shuffle); the lang gate is
     a pushed-down predicate (reference analog: AcademicPaperFilter gating
-    every downstream extractor, csxextract/filters.py:9-48)."""
+    every downstream extractor, csxextract/filters.py:9-48).
+
+    `row_timeout` (seconds) bounds each document's relation-extraction
+    wall clock via the killable-worker harness (functions/deadline.py)
+    — regex over untrusted text is the classic catastrophic-
+    backtracking risk, and the reference bounds its equivalent stage
+    with a per-document subprocess timeout (parscit.py:31). A row that
+    exceeds the deadline (or raises) yields ONE sentinel triple
+    (pred='__error__', obj_type='ERR', obj=the error string, e.g.
+    'Timeout') instead of stalling the task; the batch survives.
+    Sentinels never enter mentions/linking (mentions_from_triples
+    drops ERR slots). Opt-in: the default hot path runs in-process.
+    """
     src = extracted
     if lang_gate is not None and "lang" in src.columns:
         src = src.filter((F.col("lang") == lang_gate) & F.col("error").isNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdfmef_spark.functions.deadline import DeadlineRunner
+
+        runner = DeadlineRunner(row_timeout) if row_timeout else None
+        try:
+            yield from _run_batches(batches, runner)
+        finally:
+            if runner is not None:
+                runner.close()
+
+    def _run_batches(batches, runner) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
             figs = pdf["figures"] if "figures" in pdf else [None] * len(pdf)
@@ -205,7 +232,19 @@ def extract_triples(extracted: DataFrame, lang_gate: str | None = "en") -> DataF
                 pdf["url"], pdf["text"], pdf["links"], figs
             ):
                 try:
-                    for (s, p, o, st, ot, a, b, conf) in extract_relations(text or ""):
+                    if runner is not None:
+                        rels, err = runner.run(relation_fn, text or "")
+                        if err is not None:
+                            rows.append({
+                                "url": url, "subj": url, "pred": "__error__",
+                                "obj": err, "subj_type": "DOC",
+                                "obj_type": "ERR", "span_start": None,
+                                "span_end": None, "conf": 0.0,
+                            })
+                            continue
+                    else:
+                        rels = relation_fn(text or "")
+                    for (s, p, o, st, ot, a, b, conf) in rels:
                         rows.append({
                             "url": url, "subj": url if s == "__URL__" else s,
                             "pred": p, "obj": o, "subj_type": st, "obj_type": ot,
@@ -277,7 +316,9 @@ def mentions_from_triples(triples: DataFrame) -> DataFrame:
         ).alias("m"),
     )
     return (
-        both.filter(F.col("m.type") != "DOC")
+        # DOC slots are documents, ERR slots are row_timeout sentinels —
+        # neither is an entity mention
+        both.filter(~F.col("m.type").isin("DOC", "ERR"))
         .select("url", "m.surface", "m.type", "m.span_start", "m.span_end")
         .dropDuplicates(["url", "surface", "type"])
     )

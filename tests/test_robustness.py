@@ -183,3 +183,62 @@ def test_error_string_identical_with_and_without_deadline(spark):
     a = extract.extract_pages(pages, extract_fn=bad_extract).first().error
     b = extract.extract_pages(pages, row_timeout=30, extract_fn=bad_extract).first().error
     assert a == b == "KeyError: 'missing thing'"
+
+
+def test_triples_row_timeout_sentinel_batch_survives(spark):
+    """A pathological document in the TRIPLES stage (catastrophic-regex
+    stand-in) becomes one pred='__error__' obj='Timeout' sentinel row;
+    neighbours extract normally and the sentinel never reaches
+    mentions (round-4 advice: the deadline harness covered extract but
+    not relation extraction)."""
+    import time
+
+    from pdfmef_spark.operators import triples as triples_op
+
+    def sleepy_relations(text: str):
+        import time as _t
+
+        if "HANG" in text:
+            _t.sleep(600)
+        from pdfmef_spark.operators.triples import extract_relations
+
+        return extract_relations(text)
+
+    rows = [
+        ("ok1", "T\nAda Lovelace works for Acme Corp.", None, None, "en", None),
+        ("bad", "T\nHANG", None, None, "en", None),
+        ("ok2", "T\nAcme Corp is located in Berlin.", None, None, "en", None),
+    ]
+    ext = spark.createDataFrame(
+        rows,
+        "url string, text string, links array<string>, "
+        "figures array<string>, lang string, error string",
+    ).coalesce(1)
+    t0 = time.time()
+    trips = triples_op.extract_triples(
+        ext, row_timeout=3, relation_fn=sleepy_relations
+    )
+    got = trips.collect()
+    assert time.time() - t0 < 60
+    by_url: dict = {}
+    for r in got:
+        by_url.setdefault(r.url, []).append(r)
+    [bad] = by_url["bad"]
+    assert bad.pred == "__error__" and bad.obj == "Timeout" and bad.obj_type == "ERR"
+    assert any(r.pred == "worksFor" for r in by_url["ok1"])
+    assert any(r.pred == "locatedIn" for r in by_url["ok2"])
+    # sentinels are not entity mentions
+    m = triples_op.mentions_from_triples(trips)
+    assert m.filter(m.surface == "Timeout").count() == 0
+    assert m.count() > 0
+
+
+def test_triples_row_timeout_passthrough_matches_default(spark, smoke_pages):
+    """With a generous deadline the guarded triples path is row-identical
+    to the in-process path on the real corpus."""
+    from pdfmef_spark.operators import extract, triples as triples_op
+
+    ext = extract.extract_pages(smoke_pages.limit(60))
+    a = sorted(map(tuple, triples_op.extract_triples(ext).collect()))
+    b = sorted(map(tuple, triples_op.extract_triples(ext, row_timeout=30).collect()))
+    assert a == b
