@@ -362,18 +362,27 @@ def run_pipeline_incremental(
       are additive and the ledger guarantees each url lands in exactly
       one batch, the vocabulary is the SUM of the per-batch deltas —
       the tail aggregates O(vocab x batches) delta rows and never
-      rescans the historical mentions table. Graph materialization
-      still reads the full triples table (entity assignments can merge
-      across batches, changing historical edge endpoints); making that
-      step delta-only needs component-stable entity ids and is the
-      documented next increment. Incremental connected components is
-      not worth its complexity at this stage-size ratio: at 10^12 docs
-      the extract stages are ~all of the cost and are never recomputed.
+      rescans the historical mentions table. Graph materialization is
+      DELTA + REMAP: entity_id = xxhash64 over the component's minimum
+      member norm is a pure function of component membership, so a
+      cross-batch merge reduces to a (old_id -> new_id) remap of the
+      previous edges table plus resolution of only the new batch's
+      triples (operators/graph.materialize_graph_delta). Tail input per
+      batch is O(prev graph + delta + vocab), never O(all triples);
+      byte-identity with from-scratch is pinned by tests. Fallbacks to
+      the full merged-triples rebuild: first batch, a crash-retry of a
+      batch whose tail already wrote (manifest run_id guard — the delta
+      is already folded into prev_edges), and a component SPLIT (only
+      possible when LSH candidate caps dropped links). Incremental
+      connected components is still not worth its complexity at this
+      stage-size ratio: at 10^12 docs the extract stages are ~all of
+      the cost and are never recomputed.
 
     At scale the delta chain would be read back from the just-committed
     Iceberg snapshot instead of persist(); local parquet has no
     snapshot isolation, so the delta is cached across the three writes.
     """
+    from pdfmef_spark import schemas
     from pdfmef_spark.operators import components, extract, graph, linking, triples as triples_op
     from pdfmef_spark.streaming.incremental import Ledger
 
@@ -453,9 +462,6 @@ def run_pipeline_incremental(
             return run.results[stage_name].df
         return spark.read.parquet(stage_dir)
 
-    # global tail over the MERGED corpus (every batch partition)
-    trip_full = _merged("triples").drop("batch_id")
-
     def tail_stage(name: str, build, partition_by=None) -> DataFrame:
         t0 = time.time()
         df = _write_stage(
@@ -465,6 +471,41 @@ def run_pipeline_incremental(
             name, df, recomputed=True, seconds=round(time.time() - t0, 2)
         )
         return df
+
+    # graph-tail mode: delta + remap when the previous batch's tail
+    # output exists AND was not written by THIS batch_id (a crash after
+    # the tail wrote but before the ledger committed re-runs the same
+    # batch — its delta edges are already folded into prev_edges, so
+    # remapping them again would double-count; the retry rebuilds from
+    # the merged triples instead, which is idempotent). The previous
+    # snapshots are localCheckpoint-ed BEFORE the overwrite of their
+    # dirs — at cluster scale this read-prev-then-overwrite sequence is
+    # an Iceberg snapshot read, local parquet has no isolation.
+    tail_ready = all(
+        os.path.exists(f"{out_dir}/{s}") for s in ("assignments", "nodes", "edges")
+    )
+    poisoned = False
+    if tail_ready:
+        m = spark.read.parquet(_manifest_path(out_dir))
+        last = (
+            m.filter(
+                (F.col("status") == "complete")
+                & F.col("stage").isin("assignments", "nodes", "edges")
+            )
+            .orderBy(F.desc("updated_ts"))
+            .select("run_id")
+            .first()
+        )
+        poisoned = last is not None and last.run_id == run_id
+    use_delta = tail_ready and not poisoned
+    if use_delta:
+        prev_assign = spark.read.parquet(f"{out_dir}/assignments").localCheckpoint()
+        prev_doc_nodes = (
+            spark.read.parquet(f"{out_dir}/nodes")
+            .filter(F.col("type") == "DOC")
+            .localCheckpoint()
+        )
+        prev_edges = spark.read.parquet(f"{out_dir}/edges").localCheckpoint()
 
     keys = (
         _merged("surfaces")
@@ -480,12 +521,35 @@ def run_pipeline_incremental(
         assignments = tail_stage(
             "assignments", lambda: components.assign_components(keys, links)
         )
-        nodes_df, edges_df = graph.materialize_graph(
-            trip_full, keys, assignments,
-            broadcast_map=keys.limit(100_001).count() <= 100_000,
-        )
+        broadcast_map = keys.limit(100_001).count() <= 100_000
+        if use_delta:
+            remap = graph.component_remap(prev_assign, assignments).persist()
+            # a component SPLIT (possible only if LSH candidate caps
+            # dropped previously-found links) makes old-edge remapping
+            # ambiguous — rebuild from merged triples instead
+            if remap.filter(F.col("n_new") > 1).limit(1).count() > 0:
+                use_delta = False
+        if use_delta:
+            trip_delta_dir = f"{out_dir}/triples/batch_id={batch_id}"
+            trip_delta = (
+                spark.read.parquet(trip_delta_dir)
+                if os.path.exists(trip_delta_dir)
+                else spark.createDataFrame([], schemas.TRIPLES)
+            )
+            nodes_df, edges_df = graph.materialize_graph_delta(
+                trip_delta, keys, assignments, prev_doc_nodes, prev_edges,
+                remap, broadcast_map=broadcast_map,
+            )
+        else:
+            nodes_df, edges_df = graph.materialize_graph(
+                _merged("triples").drop("batch_id"), keys, assignments,
+                broadcast_map=broadcast_map,
+            )
         tail_stage("nodes", lambda: nodes_df, partition_by=["type"])
         tail_stage("edges", lambda: edges_df, partition_by=["pred"])
+        run.results["edges"].metrics = {
+            "tail_mode": "delta" if use_delta else "full"
+        }
     finally:
         keys.unpersist()
 

@@ -141,3 +141,77 @@ def test_incremental_first_batch_with_empty_stage(spark, tmp_path):
     # through the mentions stage (title objects are DOC-attributes only)
     assert run.df("mentions").count() == 0
     assert "surface" in run.df("mentions").columns
+
+
+def test_delta_tail_three_batches_byte_identical(spark, smoke_pages, tmp_path):
+    """Three incremental batches: batches 2+ must take the delta+remap
+    graph tail (component-stable entity ids, no historical-triples
+    rescan) and still end byte-identical to a from-scratch run — the
+    round-4 'documented next increment'."""
+    pages = smoke_pages
+    b = F.pmod(F.xxhash64("url"), F.lit(3))
+    inc_dir = str(tmp_path / "inc")
+    r1 = P.run_pipeline_incremental(spark, pages.filter(b == 0), inc_dir)
+    r2 = P.run_pipeline_incremental(spark, pages.filter(b != 2), inc_dir)
+    r3 = P.run_pipeline_incremental(spark, pages, inc_dir)
+    # first batch has no previous tail; later batches must be delta
+    assert r1.results["edges"].metrics["tail_mode"] == "full"
+    assert r2.results["edges"].metrics["tail_mode"] == "delta"
+    assert r3.results["edges"].metrics["tail_mode"] == "delta"
+    run_full = P.run_pipeline(spark, pages, str(tmp_path / "full"))
+    assert _graph_sets(r3) == _graph_sets(run_full)
+
+
+def test_delta_tail_plan_never_scans_historical_triples(spark, smoke_pages, tmp_path):
+    """The delta tail's edges plan reads prev_edges + the CURRENT batch's
+    triples partition + the vocab — never earlier batch partitions
+    (O(delta + vocab + prev graph) input, the fix for the round-4
+    'tail re-reads the full triples table' debt)."""
+    from pdfmef_spark.operators import components, graph, linking
+
+    pages = smoke_pages
+    b = F.pmod(F.xxhash64("url"), F.lit(3))
+    inc_dir = str(tmp_path / "inc")
+    P.run_pipeline_incremental(spark, pages.filter(b == 0), inc_dir)
+    P.run_pipeline_incremental(spark, pages, inc_dir)
+
+    # rebuild the exact delta-tail plan the pipeline ran for batch 2
+    keys = (
+        spark.read.parquet(f"{inc_dir}/surfaces")
+        .groupBy("type", "norm", "surface")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    assignments = spark.read.parquet(f"{inc_dir}/assignments")
+    prev_doc_nodes = spark.read.parquet(f"{inc_dir}/nodes").filter(F.col("type") == "DOC")
+    prev_edges = spark.read.parquet(f"{inc_dir}/edges")
+    remap = graph.component_remap(assignments, assignments)
+    trip_delta = spark.read.parquet(f"{inc_dir}/triples/batch_id=1")
+    _, edges_df = graph.materialize_graph_delta(
+        trip_delta, keys, assignments, prev_doc_nodes, prev_edges, remap
+    )
+    plan = edges_df._jdf.queryExecution().executedPlan().toString()
+    assert "batch_id=0" not in plan
+
+
+def test_delta_tail_crash_retry_falls_back_to_full(spark, smoke_pages, tmp_path):
+    """A retry of a batch whose tail already wrote (crash before the
+    ledger commit) must NOT delta-update — its edges are already folded
+    into prev_edges and would double-count. The manifest run_id guard
+    forces the idempotent full rebuild, and the result still matches
+    from-scratch."""
+    import shutil
+
+    pages = smoke_pages
+    b = F.pmod(F.xxhash64("url"), F.lit(3))
+    inc_dir = str(tmp_path / "inc")
+    P.run_pipeline_incremental(spark, pages.filter(b == 0), inc_dir)
+    P.run_pipeline_incremental(spark, pages, inc_dir)
+    # simulate: the last batch's tail completed but its ledger commit was lost
+    kept = spark.read.parquet(f"{inc_dir}/ledger").filter(F.col("batch_id") != 1)
+    rows, schema = kept.collect(), kept.schema
+    shutil.rmtree(f"{inc_dir}/ledger")
+    spark.createDataFrame(rows, schema).write.parquet(f"{inc_dir}/ledger")
+    retry = P.run_pipeline_incremental(spark, pages, inc_dir)
+    assert retry.results["edges"].metrics["tail_mode"] == "full"
+    run_full = P.run_pipeline(spark, pages, str(tmp_path / "full"))
+    assert _graph_sets(retry) == _graph_sets(run_full)
