@@ -113,6 +113,11 @@ def main() -> None:
             spark, n_small=10_000, growth=4
         )
 
+        # ANN growth scaling (the similarity-search twin of the linking
+        # stress): IVF probe time at n and 4n vectors with sqrt(N)
+        # centroids, recall@k vs brute force at both sizes
+        out["ann_scaling"] = stress.ann_scaling(spark, n_small=100_000, growth=4)
+
         # distributed connected components on a >=1M-edge random graph:
         # the path a 100 TB link graph always takes (driver_cutoff=0
         # forces the alternating large-star/small-star iterative joins)

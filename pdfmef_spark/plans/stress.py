@@ -203,3 +203,100 @@ def stress_pages(spark: SparkSession, n_pages: int) -> DataFrame:
         F.encode(html, "UTF-8").alias("html"),
         F.lit("en").alias("lang"),
     )
+
+
+def stress_embeddings(
+    spark: SparkSession, n: int, dim: int = 32, clusters: int = 64
+) -> DataFrame:
+    """Deterministic clustered embedding table (vec_id, embedding).
+
+    Every component is a pure function of (vec_id, j): cluster center +
+    bounded noise, so the table is identical at any parallelism and
+    needs no seed state. Clustered structure (not uniform noise) is what
+    makes IVF a fair test — real embedding spaces are clustered, and a
+    coarse quantizer over uniform noise has nothing to exploit."""
+    def comp(j: int):
+        c = F.pmod(F.col("id"), F.lit(clusters))
+        center = F.pmod(F.xxhash64(c, F.lit(j)), F.lit(2001)) / 1000.0 - 1.0
+        noise = (
+            F.pmod(F.xxhash64(F.col("id"), F.lit(j + 7919)), F.lit(2001)) / 1000.0
+            - 1.0
+        ) * 0.15
+        return (center + noise).cast("float")
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(j) for j in range(dim)]).alias("embedding"),
+    )
+
+
+def ann_scaling(
+    spark: SparkSession,
+    n_small: int = 100_000,
+    growth: int = 4,
+    k: int = 10,
+    n_queries: int = 8,
+    nprobe: int = 16,
+    reps: int = 2,
+) -> dict:
+    """IVF ANN at n and growth*n vectors: wall-clock, time ratio, and
+    recall@k vs the brute-force oracle at BOTH sizes.
+
+    Mirrors linking_scaling's evidence shape for the similarity-search
+    family: centroid count grows ~sqrt(N) (the standard IVF sizing), so
+    near-linear time ratio + stable recall evidences that probe cost
+    stays bucketed as the table grows. Reps alternate sizes
+    (interleaved best-of-N, the scaling_run.py discipline). Input
+    tables are materialized to .cache parquet once (deterministic), so
+    generation cost never rides the measurement."""
+    import math
+    import os
+
+    from pdfmef_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    sizes = {"small": n_small, "large": n_small * growth}
+    paths: dict[str, str] = {}
+    for tag, n in sizes.items():
+        p = f"/root/repo/.cache/ann_stress_{n}"
+        if not os.path.exists(p):
+            stress_embeddings(spark, n).write.mode("overwrite").parquet(p)
+        paths[tag] = p
+
+    best: dict[str, float] = {}
+    recalls: dict[str, float] = {}
+    for _ in range(reps):
+        for tag, n in sizes.items():
+            emb = spark.read.parquet(paths[tag])
+            queries = spark.createDataFrame(
+                [
+                    (int(r.vec_id), list(map(float, r.embedding)))
+                    for r in emb.filter(
+                        F.pmod(F.col("vec_id"), F.lit(n // n_queries)) == 17
+                    ).limit(n_queries).collect()
+                ],
+                "q_id long, q_vec array<double>",
+            )
+            n_cent = int(math.sqrt(n))
+            t0 = time.time()
+            ivf = ivf_topk(
+                emb, queries, k=k, n_centroids=n_cent, nprobe=nprobe
+            ).collect()
+            dt = time.time() - t0
+            best[tag] = min(best.get(tag, dt), dt)
+            if tag not in recalls:
+                truth = brute_force_topk(emb, queries, k=k).collect()
+                t_set = {(r.q_id, r.vec_id) for r in truth}
+                i_set = {(r.q_id, r.vec_id) for r in ivf}
+                recalls[tag] = round(len(t_set & i_set) / max(len(t_set), 1), 4)
+
+    out: dict = {"growth": growth, "k": k, "nprobe": nprobe, "reps": reps}
+    for tag, n in sizes.items():
+        out[tag] = {
+            "vectors": n,
+            "centroids": int(math.sqrt(n)),
+            "sec": round(best[tag], 3),
+            "vectors_per_sec": round(n / best[tag], 1),
+            "recall_at_k": recalls[tag],
+        }
+    out["time_ratio"] = round(out["large"]["sec"] / out["small"]["sec"], 3)
+    return out

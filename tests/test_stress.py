@@ -41,3 +41,33 @@ def test_stress_linking_recall_and_precision(spark):
         la = next(t for t in a.split() if t.startswith("ln"))
         lb = next(t for t in b.split() if t.startswith("ln"))
         assert la == lb, pair
+
+
+def test_stress_embeddings_deterministic_and_clustered(spark):
+    """Embedding components are pure functions of (vec_id, j): identical at
+    any parallelism, and clustered (same pmod-cluster vectors are near one
+    another, cross-cluster vectors are not) so IVF has real structure."""
+    a = stress.stress_embeddings(spark, 256).repartition(1).collect()
+    b = stress.stress_embeddings(spark, 256).repartition(7).collect()
+    assert {r.vec_id: r.embedding for r in a} == {r.vec_id: r.embedding for r in b}
+
+    import math
+
+    vecs = {r.vec_id: r.embedding for r in a}
+
+    def dist(u, v):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(u, v)))
+
+    same = dist(vecs[0], vecs[64])  # 64 = one full cluster cycle -> same center
+    cross = dist(vecs[0], vecs[1])
+    assert same < cross
+
+
+def test_ann_scaling_harness_small(spark):
+    """The bench harness itself: both sizes report recall vs brute force,
+    and the planted clustered corpus keeps IVF recall high at both."""
+    out = stress.ann_scaling(spark, n_small=2000, growth=2, reps=1, n_queries=4)
+    assert out["small"]["vectors"] == 2000 and out["large"]["vectors"] == 4000
+    assert out["small"]["recall_at_k"] >= 0.9
+    assert out["large"]["recall_at_k"] >= 0.9
+    assert out["time_ratio"] > 0

@@ -113,7 +113,13 @@ def serve(job: str, cores: int) -> None:
             out_dir = tempfile.mkdtemp(prefix=f"scal_{cores}_")
             try:
                 run = P.run_pipeline(spark, pages, out_dir, run_id=f"s{cores}")
-                return {"edges": run.df("edges").count()}
+                # per-stage wall seconds ride back to the parent so the
+                # lo-vs-hi efficiency can be DECOMPOSED by stage (which
+                # stage fails to speed up 4x), not just totalled
+                return {
+                    "edges": run.df("edges").count(),
+                    "stages": {k: round(v.seconds, 2) for k, v in run.results.items()},
+                }
             finally:
                 shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -169,25 +175,43 @@ def measure(job: str, lo: int, hi: int, reps: int = REPS) -> dict:
         # warm-up both (not timed)
         c_lo.run()
         c_hi.run()
-        lo_times, hi_times, extra = [], [], {}
+        lo_runs, hi_runs, extra = [], [], {}
         for _ in range(reps):  # interleave so throttle phases hit both sides
-            t, extra = c_lo.run()
-            lo_times.append(t)
-            t, extra = c_hi.run()
-            hi_times.append(t)
+            lo_runs.append(c_lo.run())
+            hi_runs.append(c_hi.run())
+            extra = hi_runs[-1][1]
     finally:
         c_lo.close()
         c_hi.close()
+    lo_times = [t for t, _ in lo_runs]
+    hi_times = [t for t, _ in hi_runs]
     best_lo, best_hi = min(lo_times), min(hi_times)
     dps_lo, dps_hi = c_lo.n_docs / best_lo, c_hi.n_docs / best_hi
-    return {
+    out = {
         "lo": {"cores": lo, "seconds": round(best_lo, 2), "all_seconds": lo_times,
                "docs": c_lo.n_docs, "docs_per_sec": round(dps_lo, 2)},
         "hi": {"cores": hi, "seconds": round(best_hi, 2), "all_seconds": hi_times,
                "docs": c_hi.n_docs, "docs_per_sec": round(dps_hi, 2)},
         "scaling_efficiency": round(dps_hi / ((hi / lo) * dps_lo), 3),
-        **extra,
+        **{k: v for k, v in extra.items() if k != "stages"},
     }
+    # per-stage decomposition from the BEST rep on each side: stage
+    # efficiency = lo_sec / ((hi/lo) * hi_sec); the stages whose number
+    # sits far below the total's efficiency are the scaling bottleneck
+    st_lo = min(lo_runs, key=lambda r: r[0])[1].get("stages")
+    st_hi = min(hi_runs, key=lambda r: r[0])[1].get("stages")
+    if st_lo and st_hi:
+        out["stages"] = {
+            name: {
+                "lo_sec": st_lo[name],
+                "hi_sec": st_hi[name],
+                "efficiency": round(st_lo[name] / ((hi / lo) * st_hi[name]), 3)
+                if st_hi[name] else None,
+            }
+            for name in st_lo
+            if name in st_hi
+        }
+    return out
 
 
 def main() -> None:
