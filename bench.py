@@ -222,6 +222,14 @@ def main() -> None:
         skew["reach_capped_sec"] = round(time.time() - t0, 3)
         out["skewed_graph"] = skew
 
+        # streaming-ingest accumulation (round-5 task): per-tick wall and
+        # ledger anti-join cost across 20 accumulated micro-batches — the
+        # delta+remap tail must keep ticks ~flat (O(delta + vocab)), not
+        # growing with the corpus the stream has already absorbed
+        out["streaming_ticks"] = stress.streaming_tick_scaling(
+            spark, n_batches=20, total_docs=8_000
+        )
+
     # attach the latest scaling evidence if tools/scaling_run.py has run
     scal = "/root/repo/.cache/scaling_result.json"
     if os.path.exists(scal):

@@ -16,6 +16,7 @@ parallelism, nothing collected to the driver but the final count.
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -300,3 +301,89 @@ def ann_scaling(
         }
     out["time_ratio"] = round(out["large"]["sec"] / out["small"]["sec"], 3)
     return out
+
+
+def streaming_tick_scaling(
+    spark: SparkSession,
+    n_batches: int = 20,
+    total_docs: int = 8000,
+    keep_dirs: bool = False,
+) -> dict:
+    """Per-tick latency as streamed batches ACCUMULATE (~n_batches drops).
+
+    Evidence target: with the delta+remap graph tail, a tick's cost is
+    O(delta + vocab), not O(corpus) — so per-tick wall must stay ~flat
+    (or grow only with the vocabulary) as batches 1..n accumulate, and
+    the processed-url ledger's anti-join must stay cheap as the ledger
+    grows. Each tick drops one parquet file of NEW urls into the
+    arrival dir, restarts the availableNow stream against the same
+    checkpoint (file-source dedup skips everything already processed),
+    and times (a) the whole tick and (b) a standalone ledger anti-join
+    probe of the next batch against the accumulated ledger. Reported:
+    per-tick walls, first-3 vs last-3 means, and their ratio — a flat
+    pipeline prints a ratio near 1 while an O(corpus) tail would print
+    ~n_batches/3.
+    """
+    import shutil
+    import tempfile
+
+    from pdfmef_spark.streaming.incremental import Ledger
+    from pdfmef_spark.streaming.ingest import run_streaming_kg_updates
+
+    root = tempfile.mkdtemp(prefix="stream_ticks_")
+    arrival, out, ckpt = f"{root}/arrive", f"{root}/kg", f"{root}/ckpt"
+    os.makedirs(arrival, exist_ok=True)
+
+    pages = stress_pages(spark, total_docs).withColumn(
+        "batch", F.pmod(F.xxhash64("url"), F.lit(n_batches))
+    )
+    staged = f"{root}/staged"
+    pages.write.partitionBy("batch").mode("overwrite").parquet(staged)
+
+    tick_secs: list[float] = []
+    ledger_probe_secs: list[float] = []
+    try:
+        for b in range(n_batches):
+            # one drop = one batch's parquet files moved into arrival
+            src = f"{staged}/batch={b}"
+            for i, f_ in enumerate(sorted(os.listdir(src)) if os.path.exists(src) else []):
+                if f_.endswith(".parquet"):
+                    shutil.copy(f"{src}/{f_}", f"{arrival}/b{b}_{i}.parquet")
+            t0 = time.time()
+            q = run_streaming_kg_updates(spark, arrival, out, checkpoint_dir=ckpt)
+            q.awaitTermination()
+            tick_secs.append(round(time.time() - t0, 2))
+
+            # controlled probe: anti-join the SAME fixed-size snapshot
+            # against the growing ledger each tick — isolates the
+            # ledger-side cost from batch-size variation
+            snap = spark.read.parquet(staged)
+            t0 = time.time()
+            Ledger(spark, f"{out}/ledger", key="url").unprocessed(snap).count()
+            ledger_probe_secs.append(round(time.time() - t0, 2))
+        edges = spark.read.parquet(f"{out}/edges").count()
+        urls = spark.read.parquet(f"{out}/ledger").count()
+    finally:
+        if not keep_dirs:
+            shutil.rmtree(root, ignore_errors=True)
+
+    head = tick_secs[:3]
+    tail = tick_secs[-3:]
+    return {
+        "batches": n_batches,
+        "docs": total_docs,
+        "urls_in_ledger": urls,
+        "edges": edges,
+        "tick_secs": tick_secs,
+        "ledger_probe_secs": ledger_probe_secs,
+        "first3_mean_sec": round(sum(head) / len(head), 2),
+        "last3_mean_sec": round(sum(tail) / len(tail), 2),
+        "last_over_first": round(
+            (sum(tail) / len(tail)) / max(sum(head) / len(head), 1e-9), 3
+        ),
+        "ledger_probe_last_over_first": round(
+            (sum(ledger_probe_secs[-3:]) / 3)
+            / max(sum(ledger_probe_secs[:3]) / 3, 1e-9),
+            3,
+        ),
+    }

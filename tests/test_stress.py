@@ -71,3 +71,15 @@ def test_ann_scaling_harness_small(spark):
     assert out["small"]["recall_at_k"] >= 0.9
     assert out["large"]["recall_at_k"] >= 0.9
     assert out["time_ratio"] > 0
+
+
+def test_streaming_tick_scaling_harness(spark):
+    """3 accumulated drops: every url lands in the ledger exactly once,
+    every tick produces a wall + ledger-probe measurement, and the final
+    graph is non-trivial (the stream really ran the pipeline)."""
+    out = stress.streaming_tick_scaling(spark, n_batches=3, total_docs=120)
+    assert out["batches"] == 3
+    assert out["urls_in_ledger"] == 120
+    assert len(out["tick_secs"]) == 3
+    assert len(out["ledger_probe_secs"]) == 3
+    assert out["edges"] > 0
