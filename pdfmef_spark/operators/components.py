@@ -62,57 +62,66 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-# Driver fast-path bound: 500k string-pair edges is ~50 MB of driver
-# heap and ~1 s of union-find — comfortably safe, and ~10 shuffle rounds
-# (each a fixed scheduling latency that does NOT shrink with executor
-# count) cheaper than the star iterations. Measured in the round-4
-# scaling work: at 167k link edges the distributed path cost a flat
-# ~9 s at any core count, the driver path ~2 s. On a real cluster size
-# this to driver memory; the distributed path is exercised separately
-# (bench cc_distributed, driver_cutoff=0) and tested identical.
-DRIVER_CUTOFF = 500_000
+# Driver fast-path bound: 2M string-pair edges is ~200 MB of driver
+# heap and well under a second of vectorized label propagation —
+# comfortably safe, and ~10 shuffle rounds (each a fixed scheduling
+# latency that does NOT shrink with executor count) cheaper than the
+# star iterations. Measured in the round-4/5 scaling work: at 167k link
+# edges the distributed path cost a flat ~9 s at any core count, the
+# driver path ~2 s; at 1M docs (just over the old 500k cutoff) the
+# distributed path cost the assignments stage 55 s at 2 cores / 27 s at
+# 8 — pure per-iteration barrier latency at local scale. On a real
+# cluster size this to driver memory; the distributed path is exercised
+# separately (bench cc_distributed, driver_cutoff=0) and tested
+# identical.
+DRIVER_CUTOFF = 2_000_000
 
 
 def _driver_union_find(edges: DataFrame) -> DataFrame:
-    """Small-graph fast path: collect edges, union-find on the driver,
-    parallelize assignments back. Identical result to the iterative-join
-    path (same min-representative), ~10 shuffle rounds cheaper.
+    """Small-graph fast path: collect edges, solve components on the
+    driver, parallelize assignments back. Identical result to the
+    iterative-join path (same min-representative), ~10 shuffle rounds
+    cheaper.
 
     Driver work is a FLAT cost at any executor count, so it is kept
-    minimal: Arrow transfer (toPandas), pd.factorize to int codes (C
-    speed), an int-array union-find whose union keeps the side whose
-    STRING is lexicographically smaller (the min-representative
-    contract), and an Arrow-backed return. The previous string-dict +
-    row-list shape cost ~10 s at 267k edges regardless of cores; this
-    is ~1 s."""
+    fully vectorized: Arrow transfer (toPandas), np.unique to SORTED
+    int codes (so min code == lexicographic-min string — the
+    representative contract), then min-label propagation with pointer
+    jumping: each round pushes the smaller label across every edge
+    (np.minimum.at) and then compresses label chains (labels =
+    labels[labels] to a fixed point). Rounds needed ~ log(diameter);
+    every step is a whole-array C operation: measured 2.5 s at 2M edges
+    with an adversarial 200k-node chain (14 rounds), far less on the
+    star-like clusters linking emits (the earlier per-edge Python
+    union-find loop cost ~1 s at 500k edges)."""
     import numpy as np
     import pandas as pd
 
     pdf = edges.toPandas()
     both = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
-    codes, uniq = pd.factorize(both)
-    uniq = np.asarray(uniq)
+    # np.unique returns SORTED uniques, so integer order == string order
+    uniq, codes = np.unique(both.to_numpy(dtype=object), return_inverse=True)
     n = len(pdf)
     a_codes, b_codes = codes[:n], codes[n:]
-    parent = np.arange(len(uniq), dtype=np.int64)
+    labels = np.arange(len(uniq), dtype=np.int64)
 
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    while True:
+        before = labels
+        # push the min label across every edge, both directions
+        edge_min = np.minimum(labels[a_codes], labels[b_codes])
+        labels = labels.copy()
+        np.minimum.at(labels, a_codes, edge_min)
+        np.minimum.at(labels, b_codes, edge_min)
+        # pointer jumping: compress label chains to their fixed point
+        while True:
+            jumped = labels[labels]
+            if np.array_equal(jumped, labels):
+                break
+            labels = jumped
+        if np.array_equal(labels, before):
+            break
 
-    for x, y in zip(a_codes, b_codes):
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            # representative = lexicographic min STRING of the component
-            if uniq[rx] <= uniq[ry]:
-                parent[ry] = rx
-            else:
-                parent[rx] = ry
-
-    roots = np.array([find(i) for i in range(len(uniq))], dtype=np.int64)
-    out = pd.DataFrame({"node": uniq, "component": uniq[roots]})
+    out = pd.DataFrame({"node": uniq, "component": uniq[labels]})
     # explicit schema: an empty pandas frame (zero-edge graph) cannot
     # infer one, and object-dtype strings should not round-trip via
     # sampling anyway
