@@ -83,3 +83,39 @@ def test_both_paths_agree_on_corpus_links(spark, smoke_pages):
     a = sorted(map(tuple, connected_components(links, driver_cutoff=0).collect()))
     b = sorted(map(tuple, connected_components(links, driver_cutoff=10**6).collect()))
     assert a == b
+
+
+# ---- property-based breadth (hypothesis) ----------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# node alphabet deliberately includes non-ASCII: the driver path picks the
+# representative via Python string min (code-point order) and the
+# distributed path via Spark's min (UTF-8 byte order) — identical orders
+# by UTF-8's order-preserving property, pinned here so a future encoding
+# change cannot silently split the contract
+_NODES = st.sampled_from(
+    ["a", "b", "c", "n1", "n2", "α", "β", "é", "ß", "中", "ヱ", "z9"]
+)
+_EDGES = st.lists(st.tuples(_NODES, _NODES), min_size=0, max_size=30)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=_EDGES)
+def test_driver_cc_matches_union_find_property(spark, edges):
+    """Vectorized min-label propagation == plain union-find on arbitrary
+    small graphs (self-loops dropped, duplicates and both orientations
+    allowed, unicode node ids)."""
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    _check(spark, edges, driver_cutoff=10**6)
+
+
+@pytest.mark.parametrize("cutoff", CUTOFFS)
+def test_unicode_representatives_agree(spark, cutoff):
+    """Both paths must elect the same (min-string) representative for
+    components whose members differ only in non-ASCII characters."""
+    edges = [("é", "e1"), ("e1", "ß"), ("中", "ヱ"), ("α", "β"), ("β", "b")]
+    _check(spark, edges, cutoff)
