@@ -342,6 +342,7 @@ def streaming_tick_scaling(
 
     tick_secs: list[float] = []
     ledger_probe_secs: list[float] = []
+    stage_secs: list[dict] = []  # per tick: stage -> wall seconds
     try:
         for b in range(n_batches):
             # one drop = one batch's parquet files moved into arrival
@@ -349,10 +350,19 @@ def streaming_tick_scaling(
             for i, f_ in enumerate(sorted(os.listdir(src)) if os.path.exists(src) else []):
                 if f_.endswith(".parquet"):
                     shutil.copy(f"{src}/{f_}", f"{arrival}/b{b}_{i}.parquet")
+            tick_stages: dict = {}
+
+            def _collect(run, epoch_id, sink=tick_stages):
+                for name, res in run.results.items():
+                    sink[name] = round(sink.get(name, 0.0) + res.seconds, 2)
+
             t0 = time.time()
-            q = run_streaming_kg_updates(spark, arrival, out, checkpoint_dir=ckpt)
+            q = run_streaming_kg_updates(
+                spark, arrival, out, checkpoint_dir=ckpt, on_batch=_collect
+            )
             q.awaitTermination()
             tick_secs.append(round(time.time() - t0, 2))
+            stage_secs.append(tick_stages)
 
             # controlled probe: anti-join the SAME fixed-size snapshot
             # against the growing ledger each tick — isolates the
@@ -369,7 +379,22 @@ def streaming_tick_scaling(
 
     head = tick_secs[:3]
     tail = tick_secs[-3:]
+    # per-stage first-3 vs last-3 means: names WHICH component grows as
+    # batches accumulate (O(vocab) links/tail work) and which stays flat
+    # (fixed stream/commit overhead) — the attribution behind the
+    # aggregate last_over_first ratio
+    stage_growth = {}
+    for name in stage_secs[0] if stage_secs else ():
+        h = [s.get(name, 0.0) for s in stage_secs[:3]]
+        t = [s.get(name, 0.0) for s in stage_secs[-3:]]
+        hm, tm = sum(h) / len(h), sum(t) / len(t)
+        stage_growth[name] = {
+            "first3_mean_sec": round(hm, 2),
+            "last3_mean_sec": round(tm, 2),
+            "last_over_first": round(tm / max(hm, 1e-9), 3),
+        }
     return {
+        "stage_growth": stage_growth,
         "batches": n_batches,
         "docs": total_docs,
         "urls_in_ledger": urls,

@@ -83,3 +83,7 @@ def test_streaming_tick_scaling_harness(spark):
     assert len(out["tick_secs"]) == 3
     assert len(out["ledger_probe_secs"]) == 3
     assert out["edges"] > 0
+    # per-stage decomposition rides along: every pipeline stage has a
+    # first-3/last-3 growth row with nonzero wall
+    assert "links" in out["stage_growth"]
+    assert out["stage_growth"]["links"]["last3_mean_sec"] > 0
