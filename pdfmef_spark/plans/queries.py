@@ -30,20 +30,13 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 
-def _kg_dir() -> str:
-    """Absolute sf0.01 corpus cache path embedded in kg_* oracle SQL.
-
-    The driver's correctness gate runs at sf=0.01; the oracle strings
-    are static, so they pin that path. `oracles()` bootstraps the cache
-    Spark-free (sources/bootstrap.py) so DuckDB can read it even when
-    the oracle side runs before any Spark query materialized it.
-    """
-    from pdfmef_spark.sources import store
-
-    return store.corpus_dir(0.01)
-
-
-_KG = _kg_dir()
+# Placeholder token interpolated into the kg_* oracle SQL at registration
+# time; `oracles()` substitutes the real corpus cache path when the dict
+# is requested. The driver's gate runs at sf=0.01 (the default); setting
+# SPARK_GRAFT_ORACLE_SF retargets every corpus-reading oracle to another
+# scale so the same gate is meaningful at e.g. sf0.1 (tools/oracle_check.py
+# does this automatically from its sf_dir argument).
+_KG = "__KG_DIR__"
 
 
 def _register(name: str, oracle: str | None = None):
@@ -62,16 +55,25 @@ def catalog() -> dict[str, QueryFn]:
 
 def oracles() -> dict[str, str]:
     # the kg_* oracles read_parquet() the materialized corpus/golden
-    # tables — build them (Spark-free) if the Spark side hasn't already
+    # tables — build them (Spark-free) if the Spark side hasn't already.
+    # Scale comes from SPARK_GRAFT_ORACLE_SF (default 0.01, the driver's
+    # gate scale); the _KG placeholder in each SQL string is substituted
+    # here so one registration serves every sf.
+    import os
+
+    from pdfmef_spark.sources import store
+
+    sf = float(os.environ.get("SPARK_GRAFT_ORACLE_SF", "0.01"))
     try:
         from pdfmef_spark.sources import bootstrap
 
-        bootstrap.ensure_corpus(0.01)
+        bootstrap.ensure_corpus(sf)
     except Exception as exc:  # pragma: no cover — driver still gets the dict
         import sys
 
         print(f"corpus bootstrap failed: {exc!r}", file=sys.stderr)
-    return dict(_ORACLES)
+    kg_dir = store.corpus_dir(sf)
+    return {name: sql.replace(_KG, kg_dir) for name, sql in _ORACLES.items()}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -785,8 +787,12 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the md5-prefix token hash makes the 60-bit signature exactly
     reproducible in DuckDB SQL; 4x15-bit pigeonhole blocking is exhaustive
     for hamming<=3, so the Spark pair set equals the brute-force all-pairs
-    oracle (as long as no 15-bit chunk bucket exceeds the 256 cap — true on
-    this corpus; pytest separately pins the signature arithmetic)."""
+    oracle. Blocking runs over DISTINCT signatures (near-dup families
+    collapse before the quadratic step), so the chunk cap measures
+    signature diversity and never binds on ordinary duplication — exact
+    at sf0.01 (2,932 pairs) AND sf0.1 (271,530 pairs), where doc-level
+    blocking under the old 256 cap dropped 85% of true pairs; pytest
+    separately pins the signature arithmetic and the family collapse."""
     from pdfmef_spark.operators import dedup
 
     return dedup.simhash_dedup_pairs(

@@ -67,6 +67,42 @@ def test_simhash_pairs_hamming_correct(spark, docs):
         assert ham == r.hamming <= 6
 
 
+def test_simhash_family_collapse_beats_doc_level_cap(spark):
+    """Blocking over DISTINCT signatures keeps recall where doc-level
+    blocking would cap out: 120 identical docs (one signature) plus a
+    few near/far variants, with chunk_cap=8 — far below the 120-doc
+    family. The pair set must still equal brute force over signatures,
+    because the family is ONE row at the capped quadratic step.
+
+    Regression for the sf0.1 finding: doc-level bucket 1,582 docs vs
+    573 distinct signatures; the old 256 doc-level cap silently dropped
+    85% of the true hamming<=3 pairs."""
+    base_text = " ".join(f"tok{i}" for i in range(60))
+    rows = [(f"fam{i:03d}", base_text) for i in range(120)]
+    # near variant (few changed tokens -> small hamming) and far outliers
+    rows.append(("near00", base_text.replace("tok0 tok1", "alpha beta")))
+    rows += [(f"far{i}", " ".join(f"zz{i}w{j}" for j in range(60))) for i in range(3)]
+    docs_df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in dedup.simhash_dedup_pairs(docs_df, max_hamming=3, chunk_cap=8).collect()
+    }
+    sigs = {
+        r.id: r.sig
+        for r in docs_df.select(
+            F.col("doc_id").alias("id"), dedup.simhash60(F.col("text")).alias("sig")
+        ).collect()
+    }
+    expected = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == expected
+    assert len(expected) >= 120 * 119 // 2  # the identical family alone
+
+
 def test_simhash60_matches_python_oracle(spark, docs):
     """The packed-counter JVM SimHash equals a naive pure-python
     reimplementation (md5-prefix hash + per-bit voting) — pins both the

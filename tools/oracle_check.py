@@ -23,6 +23,14 @@ def value_hash(rows: list[tuple]) -> str:
 
 
 def main(sf_dir: str) -> int:
+    import os
+
+    from pdfmef_spark.sources import store
+
+    # retarget the corpus-reading kg_* oracles to this sf (the SQL
+    # strings default to the driver's sf0.01 gate scale otherwise)
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = str(store.sf_of_dir(sf_dir))
+
     import __spark_entry__ as E
     from pdfmef_spark.session import get_spark
     from pdfmef_spark.sources.store import TESTDATA_TABLES
