@@ -222,6 +222,32 @@ def main() -> None:
         skew["reach_capped_sec"] = round(time.time() - t0, 3)
         out["skewed_graph"] = skew
 
+        # near-dup family timings (round 5): the four blocking pipelines
+        # after the join-width change — blocking tables carry (id, key)
+        # only, member payloads (shingle arrays / vectors) join back
+        # post-cap from a persisted base. Reported cold AND warm, not
+        # best-of: the pipelines persist their base/bucket tables and
+        # Spark's CacheManager dedupes by logical plan, so rep 2 reuses
+        # rep 1's cache — a best-of here would be a warm-cache number
+        # masquerading as a single-pass cost.
+        dd_names = [
+            "minhash_dedup", "ngram_jaccard_dedup_capped",
+            "simhash_dedup", "embedding_near_dups",
+        ]
+        dd_reps: dict[str, list[float]] = {}
+        for _ in range(max(reps, 2)):
+            for name in dd_names:
+                fn = Q.catalog().get(name)
+                if fn is None:
+                    continue
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                dd_reps.setdefault(name, []).append(round(time.time() - t0, 3))
+        out["dedup_family"] = {
+            k: {"cold_sec": v[0], "warm_sec": min(v[1:])}
+            for k, v in dd_reps.items()
+        }
+
         # streaming-ingest accumulation (round-5 task): per-tick wall and
         # ledger anti-join cost across 20 accumulated micro-batches — the
         # delta+remap tail must keep ticks ~flat (O(delta + vocab)), not
