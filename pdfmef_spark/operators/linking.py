@@ -200,8 +200,17 @@ def candidate_pairs(keys: DataFrame, cap_obs=None) -> DataFrame:
     strings as the lambda path, so the candidate set — and every
     downstream link — is unchanged.
     """
-    norms = keys.select("type", "norm").distinct()
+    keyed = tag_block_keys(keys.select("type", "norm").distinct())
+    pairs = _bucket_pairs_capped(keyed, cap_obs=cap_obs)
+    return pairs.distinct()
 
+
+def tag_block_keys(norms: DataFrame) -> DataFrame:
+    """(type, norm) -> (type, norm, bkey): every block key a norm tags,
+    across all three blocking families. A pure function of the norm
+    string — a norm's keys never change once computed, which is what
+    makes the incremental-links path (delta_candidate_pairs) sound:
+    per-batch key sets are append-only and can be persisted once."""
     # signatures carry (type, norm) through the aggregate — no join-back
     signed = minhash_signatures(norms)
     band_keys = F.array(
@@ -231,12 +240,86 @@ def candidate_pairs(keys: DataFrame, cap_obs=None) -> DataFrame:
         F.array(F.concat(F.lit("p:"), F.substring_index(F.col("norm"), " ", 2))),
     ).otherwise(F.array().cast("array<string>"))
 
-    keyed = signed.select(
+    return signed.select(
         "type", "norm",
         F.explode(F.concat(band_keys, tok_keys, pre_keys)).alias("bkey"),
     )
-    pairs = _bucket_pairs_capped(keyed, cap_obs=cap_obs)
-    return pairs.distinct()
+
+
+def delta_candidate_pairs(keyed_all: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Incremental candidate generation over an accumulated key table.
+
+    ``keyed_all``: (type, norm, bkey, is_new) — the union of every
+    batch's ``tag_block_keys`` output, with ``is_new`` marking norms
+    first seen THIS tick. Only buckets touched by a new norm are
+    expanded, and only pairs with >= 1 new member are emitted: pairs
+    among old members were candidates on an earlier tick (a norm's
+    bkeys never change), so the caller's accumulated links table
+    already holds their scored survivors. Per-tick cost is
+    O(delta x bucket density + one column-pruned scan of the key
+    table) instead of re-running shingle -> 64-hash MinHash signatures
+    over the whole vocabulary.
+
+    Returns (pairs, crossed). ``crossed`` is non-empty iff a touched
+    bucket CROSSED its cap this tick with >= 2 pre-existing members —
+    the one case where full recompute semantics (the bucket's old pairs
+    vanish with the bucket) cannot be reproduced from the accumulated
+    links table, so the caller must fall back to a full rebuild for
+    this tick. Buckets already over cap stay skipped (matching the
+    full path, which drops them), so a perpetually hot block does not
+    force a rebuild every tick — only its crossing tick does.
+    """
+    from pyspark.sql import Window as W
+
+    touched = keyed_all.filter(F.col("is_new")).select("type", "bkey").distinct()
+    members = keyed_all.join(touched, ["type", "bkey"])
+    cap = F.when(
+        F.col("bkey").startswith("b:"), F.lit(BUCKET_CAP)
+    ).otherwise(F.lit(TOKEN_BLOCK_CAP))
+    w = W.partitionBy("type", "bkey")
+    sized = members.withColumn("n", F.count(F.lit(1)).over(w)).withColumn(
+        "n_new", F.sum(F.col("is_new").cast("int")).over(w)
+    )
+    crossed = sized.filter(
+        (F.col("n") > cap)
+        & (F.col("n") - F.col("n_new") >= 2)
+        & (F.col("n") - F.col("n_new") <= cap)
+    ).select("type", "bkey", "n", "n_new")
+    small = (
+        sized.filter((F.col("n") >= 2) & (F.col("n") <= cap))
+        .groupBy("type", "bkey")
+        # struct sort orders by norm (first field) — same member order
+        # as the full path's array_sort(collect_set(norm))
+        .agg(F.array_sort(F.collect_set(F.struct("norm", "is_new"))).alias("members"))
+    )
+    pairs = small.select(
+        F.col("type"),
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("members"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("members"),
+                            i + 2,
+                            F.greatest(F.size("members") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(
+                            x["norm"].alias("a"),
+                            y["norm"].alias("b"),
+                            (x["is_new"] | y["is_new"]).alias("keep"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.filter(F.col("p.keep"))
+        .select("type", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct(),
+        crossed,
+    )
 
 
 def _token_score(a: str, b: str) -> float:

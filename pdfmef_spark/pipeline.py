@@ -362,7 +362,17 @@ def run_pipeline_incremental(
       are additive and the ledger guarantees each url lands in exactly
       one batch, the vocabulary is the SUM of the per-batch deltas —
       the tail aggregates O(vocab x batches) delta rows and never
-      rescans the historical mentions table. Graph materialization is
+      rescans the historical mentions table. The LINKS stage is
+      itself incremental: block keys are a pure function of the norm
+      string (linking.tag_block_keys), each batch persists keys for
+      its NEW norms only (``bucket_keys``, hive batch partitions), and
+      candidate generation expands only buckets a new norm touched —
+      links = prev_links UNION score(new-touching pairs), exactly the
+      full recompute (pinned by tests) unless a touched bucket crossed
+      its cap this tick, which forces a full links rebuild (the
+      bucket's old pairs must vanish with it). Measured at 5k docs /
+      6 batches: links+keys 3.6 s -> 0.9 s per tick, same links table.
+      Graph materialization is
       DELTA + REMAP: entity_id = xxhash64 over the component's minimum
       member norm is a pure function of component membership, so a
       cross-batch merge reduces to a (old_id -> new_id) remap of the
@@ -481,16 +491,27 @@ def run_pipeline_incremental(
     # snapshots are localCheckpoint-ed BEFORE the overwrite of their
     # dirs — at cluster scale this read-prev-then-overwrite sequence is
     # an Iceberg snapshot read, local parquet has no isolation.
+    def _has_parquet(path: str) -> bool:
+        return os.path.exists(path) and any(
+            f.endswith(".parquet") for _, _, files in os.walk(path) for f in files
+        )
+
+    # file presence, not dir existence: a zero-row stage under a
+    # partitioned overwrite leaves a dir with no parquet files, and a
+    # schema-less read of it throws. Until every graph-tail table has
+    # real rows the full rebuild is the cheap path anyway. (The links
+    # table is read with an explicit schema below, so a legitimately
+    # zero-link corpus does not block the incremental-links path.)
     tail_ready = all(
-        os.path.exists(f"{out_dir}/{s}") for s in ("assignments", "nodes", "edges")
+        _has_parquet(f"{out_dir}/{s}") for s in ("assignments", "nodes", "edges")
     )
     poisoned = False
-    if tail_ready:
+    if os.path.exists(_manifest_path(out_dir)):
         m = spark.read.parquet(_manifest_path(out_dir))
         last = (
             m.filter(
                 (F.col("status") == "complete")
-                & F.col("stage").isin("assignments", "nodes", "edges")
+                & F.col("stage").isin("links", "assignments", "nodes", "edges")
             )
             .orderBy(F.desc("updated_ts"))
             .select("run_id")
@@ -514,10 +535,68 @@ def run_pipeline_incremental(
         .persist()
     )
     try:
-        links = tail_stage(
-            "links",
-            lambda: linking.link_entities(threshold=link_threshold, keys=keys),
+        # Incremental links: a norm's block keys are a pure function of
+        # the norm string (linking.tag_block_keys), so each batch
+        # persists keys for its NEW norms only and candidate generation
+        # touches only buckets a new norm landed in. The accumulated
+        # links table holds every old-old pair's scored survivor, so
+        # links = prev_links UNION scored(new-touching pairs) — exactly
+        # the full recompute, UNLESS a touched bucket crossed its cap
+        # this tick (its old pairs must vanish with the bucket; only a
+        # full rebuild reproduces that) or this is a poisoned retry
+        # (prev links already contain this batch's delta). Per-tick
+        # links cost drops from re-MinHashing the whole vocabulary to
+        # O(delta x bucket density + a column-pruned key-table scan).
+        norms_now = keys.select("type", "norm").distinct()
+        bk_dir = f"{out_dir}/bucket_keys"
+        have_prev_bk = _has_parquet(bk_dir)
+        links_delta_ok = (
+            not poisoned
+            and have_prev_bk
+            and os.path.exists(f"{out_dir}/links")
         )
+        if have_prev_bk:
+            # always delta the key table itself (even on full-rebuild
+            # ticks): a norm must live in exactly ONE batch partition,
+            # or future bucket counts double-count it. Excluding the
+            # current batch_id makes a crash-retry overwrite idempotent.
+            prev_norms = (
+                spark.read.parquet(bk_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select("type", "norm")
+                .distinct()
+            )
+            new_norms = norms_now.join(prev_norms, ["type", "norm"], "left_anti")
+        else:
+            new_norms = norms_now  # bootstrap: key the whole vocabulary
+        inc_stage("bucket_keys", linking.tag_block_keys(new_norms))
+        links_mode = "full"
+        if links_delta_ok:
+            keyed_all = spark.read.parquet(bk_dir).withColumn(
+                "is_new", F.col("batch_id") == F.lit(batch_id)
+            )
+            d_pairs, crossed = linking.delta_candidate_pairs(keyed_all)
+            if crossed.limit(1).count() == 0:
+                # checkpoint BEFORE the overwrite of the links dir; the
+                # explicit schema keeps a zero-link table readable (a
+                # file-less dir cannot infer one)
+                prev_links = (
+                    spark.read.schema(schemas.LINKS)
+                    .parquet(f"{out_dir}/links")
+                    .localCheckpoint()
+                )
+                delta_links = linking.score_pairs(d_pairs, threshold=link_threshold)
+                links_mode = "delta"
+        if links_mode == "delta":
+            links = tail_stage(
+                "links", lambda: prev_links.unionByName(delta_links)
+            )
+        else:
+            links = tail_stage(
+                "links",
+                lambda: linking.link_entities(threshold=link_threshold, keys=keys),
+            )
+        run.results["links"].metrics = {"links_mode": links_mode}
         assignments = tail_stage(
             "assignments", lambda: components.assign_components(keys, links)
         )

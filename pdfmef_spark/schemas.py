@@ -67,6 +67,7 @@ TRIPLES = T.StructType(
 
 LINKS = T.StructType(
     [
+        T.StructField("type", T.StringType(), False),  # entity type partition
         T.StructField("src", T.StringType(), False),   # normalized surface key
         T.StructField("dst", T.StringType(), False),
         T.StructField("score", T.DoubleType(), False),

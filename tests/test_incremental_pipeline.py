@@ -25,6 +25,13 @@ def _graph_sets(run):
     return nodes, edges
 
 
+def _links_set(run):
+    return {
+        (r.type, r.src, r.dst, round(r.score, 9))
+        for r in run.df("links").collect()
+    }
+
+
 def _batch_rows(spark, out_dir, stage, batch_id):
     return (
         spark.read.parquet(f"{out_dir}/{stage}")
@@ -158,7 +165,13 @@ def test_delta_tail_three_batches_byte_identical(spark, smoke_pages, tmp_path):
     assert r1.results["edges"].metrics["tail_mode"] == "full"
     assert r2.results["edges"].metrics["tail_mode"] == "delta"
     assert r3.results["edges"].metrics["tail_mode"] == "delta"
+    # the links stage must ALSO run delta (prev links + new-norm pairs
+    # only), and the accumulated links table must equal from-scratch
+    assert r1.results["links"].metrics["links_mode"] == "full"
+    assert r2.results["links"].metrics["links_mode"] == "delta"
+    assert r3.results["links"].metrics["links_mode"] == "delta"
     run_full = P.run_pipeline(spark, pages, str(tmp_path / "full"))
+    assert _links_set(r3) == _links_set(run_full)
     assert _graph_sets(r3) == _graph_sets(run_full)
 
 
@@ -213,5 +226,53 @@ def test_delta_tail_crash_retry_falls_back_to_full(spark, smoke_pages, tmp_path)
     spark.createDataFrame(rows, schema).write.parquet(f"{inc_dir}/ledger")
     retry = P.run_pipeline_incremental(spark, pages, inc_dir)
     assert retry.results["edges"].metrics["tail_mode"] == "full"
+    # the links stage shares the poisoned-retry guard: prev links
+    # already contain this batch's delta, so a delta union would dup
+    assert retry.results["links"].metrics["links_mode"] == "full"
     run_full = P.run_pipeline(spark, pages, str(tmp_path / "full"))
+    assert _links_set(retry) == _links_set(run_full)
     assert _graph_sets(retry) == _graph_sets(run_full)
+
+
+def _page(url: str, body: str):
+    # first block renders as the <h1> title; the relation sentence must
+    # be a LATER block or it is consumed as the hasTitle triple
+    html = (
+        "<html><head><title>t</title></head><body><main><article>"
+        f"<h1>A page about things</h1><p>{body}</p>"
+        "</article></main></body></html>"
+    ).encode()
+    return (url, html, "en")
+
+
+def test_delta_links_cap_crossing_falls_back(spark, tmp_path, monkeypatch):
+    """A blocking bucket that CROSSES its cap on this tick (>= 2 old
+    members, now over cap) cannot be delta-updated — full recompute
+    drops the whole bucket, so its old pairs must vanish from the
+    links table. The tick must fall back to a full links rebuild and
+    still match from-scratch under the same cap."""
+    from pdfmef_spark.operators import linking
+
+    monkeypatch.setattr(linking, "TOKEN_BLOCK_CAP", 2)
+    schema = "url string, html binary, lang string"
+    b1 = spark.createDataFrame(
+        [
+            _page("https://x.org/1", "Alpha Systems is located in Paris."),
+            _page("https://x.org/2", "Beta Systems is located in Lyon."),
+        ],
+        schema,
+    )
+    all_pages = b1.unionByName(
+        spark.createDataFrame(
+            [_page("https://x.org/3", "Gamma Systems is located in Nice.")],
+            schema,
+        )
+    )
+    inc_dir = str(tmp_path / "inc")
+    r1 = P.run_pipeline_incremental(spark, b1, inc_dir)
+    r2 = P.run_pipeline_incremental(spark, all_pages, inc_dir)
+    assert r1.results["links"].metrics["links_mode"] == "full"
+    # t:systems grows 2 -> 3 past the patched cap: crossing detected
+    assert r2.results["links"].metrics["links_mode"] == "full"
+    run_full = P.run_pipeline(spark, all_pages, str(tmp_path / "full"))
+    assert _links_set(r2) == _links_set(run_full)

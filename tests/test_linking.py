@@ -142,3 +142,57 @@ def test_minhash_signatures_match_lambda_path(spark):
         for r in linking.minhash_signatures(norms).collect()
     }
     assert via_join == via_lambda
+
+
+def test_delta_candidate_pairs_equals_full_minus_old(spark):
+    """With no cap crossing, delta pairs over (old + new) norms must be
+    EXACTLY full(all) \\ full(old): every pair touching a new norm, no
+    pair among old norms (those were candidates on the earlier tick).
+    This is the invariant that makes prev_links UNION score(delta)
+    equal a full links recompute."""
+    old = spark.createDataFrame(
+        [("E", n) for n in [
+            "ada lovelace", "a lovelace", "grace hopper",
+            "orbital logic systems", "orbital logic",
+        ]],
+        "type string, norm string",
+    )
+    new = spark.createDataFrame(
+        [("E", n) for n in ["ada m lovelace", "g hopper", "acme corp"]],
+        "type string, norm string",
+    )
+    keyed_all = (
+        linking.tag_block_keys(old).withColumn("is_new", F.lit(False))
+        .unionByName(linking.tag_block_keys(new).withColumn("is_new", F.lit(True)))
+    )
+    d_pairs, crossed = linking.delta_candidate_pairs(keyed_all)
+    assert crossed.count() == 0
+    got = {tuple(r) for r in d_pairs.collect()}
+    full_all = {tuple(r) for r in linking.candidate_pairs(old.unionByName(new)).collect()}
+    full_old = {tuple(r) for r in linking.candidate_pairs(old).collect()}
+    assert got == full_all - full_old
+    assert got  # the planted aliases must actually produce candidates
+
+
+def test_delta_candidate_pairs_detects_cap_crossing(spark, monkeypatch):
+    """A bucket with >= 2 old members that a new norm pushes over its
+    cap must land in the crossed frame (the caller's full-rebuild
+    trigger); a bucket ALREADY over cap must not (it stays skipped on
+    both paths, so a perpetually hot block can't force a rebuild every
+    tick)."""
+    monkeypatch.setattr(linking, "TOKEN_BLOCK_CAP", 2)
+    old2 = [("E", "alpha systems"), ("E", "beta systems")]
+    over = [("E", f"name{i} widgets") for i in range(4)]  # already > 2
+    new = [("E", "gamma systems"), ("E", "omega widgets")]
+    keyed_all = (
+        linking.tag_block_keys(spark.createDataFrame(old2 + over, "type string, norm string"))
+        .withColumn("is_new", F.lit(False))
+        .unionByName(
+            linking.tag_block_keys(spark.createDataFrame(new, "type string, norm string"))
+            .withColumn("is_new", F.lit(True))
+        )
+    )
+    _, crossed = linking.delta_candidate_pairs(keyed_all)
+    rows = crossed.collect()
+    assert any(r.bkey == "t:systems" for r in rows)  # 2 -> 3 crossed
+    assert not any(r.bkey == "t:widgets" for r in rows)  # 4 -> 5 stays skipped
