@@ -585,7 +585,11 @@ def run_pipeline_incremental(
                     .parquet(f"{out_dir}/links")
                     .localCheckpoint()
                 )
-                delta_links = linking.score_pairs(d_pairs, threshold=link_threshold)
+                # checkpointed once: reused by the links write AND the
+                # delta component update below
+                delta_links = linking.score_pairs(
+                    d_pairs, threshold=link_threshold
+                ).localCheckpoint()
                 links_mode = "delta"
         if links_mode == "delta":
             links = tail_stage(
@@ -597,9 +601,27 @@ def run_pipeline_incremental(
                 lambda: linking.link_entities(threshold=link_threshold, keys=keys),
             )
         run.results["links"].metrics = {"links_mode": links_mode}
-        assignments = tail_stage(
-            "assignments", lambda: components.assign_components(keys, links)
-        )
+        if links_mode == "delta" and use_delta:
+            # merge-only tick (links grew, never shrank), so component
+            # assignment is a remap of O(delta) representatives over
+            # prev_assign — no CC over the full links table
+            # (components.assign_components_delta; equality pinned)
+            new_norms_now = (
+                keyed_all.filter(F.col("is_new")).select("type", "norm").distinct()
+            )
+            assignments = tail_stage(
+                "assignments",
+                lambda: components.assign_components_delta(
+                    prev_assign, delta_links, new_norms_now
+                ),
+            )
+            assignments_mode = "delta"
+        else:
+            assignments = tail_stage(
+                "assignments", lambda: components.assign_components(keys, links)
+            )
+            assignments_mode = "full"
+        run.results["assignments"].metrics = {"assignments_mode": assignments_mode}
         broadcast_map = keys.limit(100_001).count() <= 100_000
         if use_delta:
             remap = graph.component_remap(prev_assign, assignments).persist()

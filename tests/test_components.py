@@ -119,3 +119,43 @@ def test_unicode_representatives_agree(spark, cutoff):
     components whose members differ only in non-ASCII characters."""
     edges = [("é", "e1"), ("e1", "ß"), ("中", "ヱ"), ("α", "β"), ("β", "b")]
     _check(spark, edges, cutoff)
+
+
+def test_assign_components_delta_equals_full(spark):
+    """Merge-only incremental assignment must equal a from-scratch
+    assign_components over the merged keys/links — including a
+    transitive old-A <- new -> old-B merge, a new-new link, a new
+    singleton, and untouched old components."""
+    from pdfmef_spark.operators.components import (
+        assign_components, assign_components_delta,
+    )
+
+    old_keys = spark.createDataFrame(
+        [("E", n) for n in ["a", "b", "c", "d", "q", "z"]],
+        "type string, norm string",
+    )
+    old_links = spark.createDataFrame(
+        [("E", "a", "b", 0.9), ("E", "c", "d", 0.8)],
+        "type string, src string, dst string, score double",
+    )
+    new_norms = spark.createDataFrame(
+        [("E", n) for n in ["m", "n", "s"]], "type string, norm string"
+    )
+    # m bridges the {a,b} and {c,d} components; n-m is a new-new link;
+    # s stays a singleton; q/z untouched (q linked to nothing before)
+    delta_links = spark.createDataFrame(
+        [("E", "b", "m", 0.9), ("E", "m", "c", 0.9), ("E", "m", "n", 0.9)],
+        "type string, src string, dst string, score double",
+    )
+    prev = assign_components(old_keys, old_links)
+    got = {
+        tuple(r)
+        for r in assign_components_delta(prev, delta_links, new_norms).collect()
+    }
+    want = {
+        tuple(r)
+        for r in assign_components(
+            old_keys.unionByName(new_norms), old_links.unionByName(delta_links)
+        ).collect()
+    }
+    assert got == want

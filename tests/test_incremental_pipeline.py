@@ -170,9 +170,16 @@ def test_delta_tail_three_batches_byte_identical(spark, smoke_pages, tmp_path):
     assert r1.results["links"].metrics["links_mode"] == "full"
     assert r2.results["links"].metrics["links_mode"] == "delta"
     assert r3.results["links"].metrics["links_mode"] == "delta"
+    # assignments ride the same delta ticks (merge-only remap, no CC
+    # over the full links table) and still match from-scratch below
+    assert r2.results["assignments"].metrics["assignments_mode"] == "delta"
+    assert r3.results["assignments"].metrics["assignments_mode"] == "delta"
     run_full = P.run_pipeline(spark, pages, str(tmp_path / "full"))
     assert _links_set(r3) == _links_set(run_full)
     assert _graph_sets(r3) == _graph_sets(run_full)
+    a = {tuple(r) for r in r3.df("assignments").collect()}
+    b = {tuple(r) for r in run_full.df("assignments").collect()}
+    assert a == b
 
 
 def test_delta_tail_plan_never_scans_historical_triples(spark, smoke_pages, tmp_path):
