@@ -560,8 +560,13 @@ def run_pipeline_incremental(
             # ticks): a norm must live in exactly ONE batch partition,
             # or future bucket counts double-count it. Excluding the
             # current batch_id makes a crash-retry overwrite idempotent.
+            # previous norms come from the SURFACES partitions, not the
+            # key table: same norm set (every batch's surfaces carry its
+            # full vocabulary delta), but one row per (norm, batch)
+            # instead of ~18 block-key rows per norm — the anti-join
+            # scans 18x fewer bytes
             prev_norms = (
-                spark.read.parquet(bk_dir)
+                _merged("surfaces")
                 .filter(F.col("batch_id") != batch_id)
                 .select("type", "norm")
                 .distinct()
