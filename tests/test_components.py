@@ -159,3 +159,50 @@ def test_assign_components_delta_equals_full(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_assign_components_delta_random_merge_cases(spark):
+    """Seeded random breadth for the merge-only invariant: across
+    random old graphs and random delta links (each touching >= 1 new
+    norm), incremental assignment must equal from-scratch. Covers
+    chains of merges, repeated links, and isolated norms the crafted
+    case can't enumerate."""
+    import random
+
+    from pdfmef_spark.operators.components import (
+        assign_components, assign_components_delta,
+    )
+
+    universe = [f"n{i:02d}" for i in range(20)]
+    for seed in range(6):
+        rng = random.Random(f"delta-cc-{seed}")
+        old = rng.sample(universe, 12)
+        new = rng.sample([u for u in universe if u not in old], 4)
+        old_links = [
+            ("E", *rng.sample(old, 2), 0.9) for _ in range(rng.randint(0, 6))
+        ]
+        delta_links = []
+        for _ in range(rng.randint(1, 6)):
+            a = rng.choice(new)
+            b = rng.choice(old + new)
+            if a != b:
+                delta_links.append(("E", a, b, 0.9))
+        k = "type string, norm string"
+        l = "type string, src string, dst string, score double"
+        old_keys = spark.createDataFrame([("E", n) for n in old], k)
+        new_keys = spark.createDataFrame([("E", n) for n in new], k)
+        ol = spark.createDataFrame(old_links, l) if old_links else (
+            spark.createDataFrame([], l))
+        dl = spark.createDataFrame(delta_links, l)
+        prev = assign_components(old_keys, ol)
+        got = {
+            tuple(r)
+            for r in assign_components_delta(prev, dl, new_keys).collect()
+        }
+        want = {
+            tuple(r)
+            for r in assign_components(
+                old_keys.unionByName(new_keys), ol.unionByName(dl)
+            ).collect()
+        }
+        assert got == want, f"seed {seed}: {got ^ want}"
