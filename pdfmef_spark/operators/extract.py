@@ -194,6 +194,45 @@ def extract_pages(
     return pages.select(*cols).mapInPandas(run, schema=schemas.EXTRACTED)
 
 
+def cites_edges(pages: DataFrame, lang_gate: str | None = "en") -> DataFrame:
+    """pages(url, html[, lang]) -> (src, dst) citation edges, fully JVM.
+
+    Plan-equivalent shortcut for
+    ``extract_triples(extract_pages(pages)).filter(pred == 'cites')``
+    when only the cites edge set is needed (graph analytics): the three
+    Python-side extraction steps that *produce* links — utf-8 decode
+    with replacement, boilerplate-subtree drop, href findall + http(s)
+    filter (``extract_html_bytes``) — are each expressible as codegen
+    expressions over the raw html, so the whole Python boundary
+    (ArrowEvalPython of the full page text, title, figures, blocks)
+    disappears from the plan (guide §4: eliminate the JVM<->Python
+    boundary; §2.3: this also stops shipping the extracted text through
+    the scan). The regexes are byte-identical patterns; Java and Python
+    regex semantics agree on them (case-insensitive + DOTALL + lazy
+    repetition + backreference). Equality with the Python path is
+    pinned by tests/test_extract.py::test_cites_edges_matches_python.
+
+    The error contract degenerates cleanly: a row only ever gets an
+    ``error`` (and null links) when its html is null, so the JVM filter
+    is ``html IS NOT NULL``; decode(errors=replace) and the regex
+    pipeline are total functions of the bytes.
+    """
+    src = pages
+    if lang_gate is not None and "lang" in pages.columns:
+        src = src.filter(F.col("lang") == lang_gate)
+    cleaned = F.regexp_replace(
+        F.decode(F.col("html"), "UTF-8"),
+        r"(?is)<(script|style|head|header|nav|footer|aside)\b.*?</\1\s*>",
+        "",
+    )
+    hrefs = F.regexp_extract_all(cleaned, F.lit(r'(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"'), 1)
+    return (
+        src.filter(F.col("html").isNotNull())
+        .select(F.col("url").alias("src"), F.explode(hrefs).alias("dst"))
+        .filter(F.col("dst").startswith("http://") | F.col("dst").startswith("https://"))
+    )
+
+
 def text_sha256(extracted: DataFrame) -> DataFrame:
     """(url, sha256_text) — the byte-identity evidence table (JVM-side hash)."""
     return extracted.select(

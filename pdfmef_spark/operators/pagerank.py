@@ -24,12 +24,18 @@ Scale design (10^12-edge citation graph, 1000 executors):
   plus one groupBy(dst) whose sum is algebraic, so map-side partial
   aggregation absorbs hub fan-in (the `cites` hot-page skew) before
   the shuffle; AQE skew-split handles the residual.
-* edges / degrees / node set are computed once and cached — the loop
-  reuses them; only the rank vector (O(nodes)) moves per iteration.
+* the degree-joined edge table is built once, hash-partitioned by src
+  and cached that way, so the per-iteration contribution join
+  exchanges ONLY the O(nodes) rank vector — the O(edges) side never
+  re-shuffles (round 6; previously the edge cache was partitioned by
+  (src, dst) from distinct() and re-exchanged every iteration).
   The caches are released before returning (the final rank vector is
   checkpointed first, so the returned DataFrame owns its own blocks).
 * dangling mass is a 1-row aggregate broadcast back into the plan
-  (crossJoin of a broadcast singleton) — no collect(), no driver loop.
+  (crossJoin of a broadcast singleton) — no per-row driver loop. The
+  dangling-node test rides the rank vector as a precomputed boolean
+  (the node property is static), replacing a per-iteration anti-join;
+  the node count is collected once as a scalar literal.
 * lineage: ranks localCheckpoint() every ``checkpoint_every``
   iterations (default: every iteration). This is not just plan-depth
   hygiene — each iteration consumes the previous rank vector THREE
@@ -92,25 +98,54 @@ def pagerank(
             .filter(F.col("w") > 0)
             .cache()
         )
+    deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
+    # degree attached to the edge table ONCE, hash-partitioned by src
+    # and cached that way (round 6, guide §2.4): the per-iteration
+    # contribution join previously re-joined deg and re-exchanged the
+    # FULL edge table every iteration (the cached distinct() leaves e
+    # partitioned by (src, dst), which a join on src cannot reuse).
+    # Now only the O(nodes) rank vector moves per iteration; the
+    # O(edges) relation is exchanged exactly once for the whole run.
+    # `w` and `deg` stay separate columns so the contribution term
+    # keeps the exact (rank * w) / deg expression tree — bit-identical
+    # to the oracle contract.
+    ed = e.repartition("src").join(deg, "src").cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        # dangling flag precomputed once: the per-iteration dangling
+        # mass was an anti-join of ranks against deg (one extra join +
+        # exchange per iteration) for a node property that never
+        # changes. The flag rides the rank vector instead and the
+        # dangling aggregate becomes a filter + 1-row sum — same rows
+        # summed, same round_dp contract.
+        .join(
+            deg.select(F.col("src").alias("node"), F.lit(False).alias("dangling")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("dangling", F.lit(True)).alias("dangling"))
         .cache()
     )
-    deg = e.groupBy("src").agg(F.sum("w").alias("deg")).cache()
-    n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))  # 1-row singleton
+    # node count as a scalar literal (round 6): the count was a 1-row
+    # singleton crossJoin-broadcast into every iteration's plan — one
+    # BroadcastExchange job per iteration for a value that never
+    # changes. One count() of the cached node table (O(1) driver data,
+    # the rangejoin.py precedent) folds it into codegen as a literal;
+    # n < 2^53 so float(n) is exact and base/n etc. are the same IEEE
+    # ops as before.
+    n = F.lit(float(nodes.count())).cast("double")
 
-    ranks = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", (F.lit(1.0).cast("double") / F.col("n")).alias("rank")
+    ranks = nodes.select(
+        "node", "dangling", (F.lit(1.0).cast("double") / n).alias("rank")
     )
 
     base = F.lit(1.0).cast("double") - F.lit(damping).cast("double")
     d = F.lit(damping).cast("double")
     for i in range(iterations):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            ed.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .groupBy("dst")
             .agg(
                 # for w == 1.0 this is bit-identical to rank/deg
@@ -123,7 +158,7 @@ def pagerank(
             .withColumnRenamed("dst", "node")
         )
         dang = (
-            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            ranks.filter(F.col("dangling"))
             .agg(
                 F.round(
                     F.coalesce(F.sum("rank"), F.lit(0.0).cast("double")), round_dp
@@ -133,15 +168,15 @@ def pagerank(
         ranks = (
             nodes.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dang))
-            .crossJoin(F.broadcast(n1))
             .select(
                 "node",
+                "dangling",
                 (
-                    base / F.col("n")
+                    base / n
                     + d
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0).cast("double"))
-                        + F.col("dang") / F.col("n")
+                        + F.col("dang") / n
                     )
                 ).alias("rank"),
             )
@@ -158,7 +193,7 @@ def pagerank(
     # plan inspection only) must not leak three cached relations for
     # the session lifetime; its un-checkpointed lineage simply
     # recomputes them if the caller executes the plan
-    for df in (e, nodes, deg):
+    for df in (e, nodes, ed):
         df.unpersist()
     return out
 

@@ -214,6 +214,24 @@ def extract_triples(
     if lang_gate is not None and "lang" in src.columns:
         src = src.filter((F.col("lang") == lang_gate) & F.col("error").isNull())
 
+    if row_timeout is None and relation_fn is extract_relations:
+        # Production fast path (guide §4): cites / hasFigure rows are
+        # 1:1 images of the `links` / `figures` arrays the extract
+        # stage already computed, so they are emitted as JVM explodes —
+        # the Python stage receives ONLY (url, text) and emits only the
+        # pattern-matched relation rows (~a dozen per doc). The legacy
+        # path built one Python dict per cites row (~5 per doc, the
+        # bulk of the boundary traffic at scale: 2.7M dict+DataFrame
+        # rows at 500k docs) and shipped links+figures arrays across
+        # Arrow for no computation. Semantics are identical: the only
+        # behavioural wrinkle of the legacy loop — a row whose
+        # relation_fn raises also drops its links/figures — cannot fire
+        # here because extract_relations is a total function of str
+        # (and the row_timeout / custom-relation_fn paths keep the
+        # legacy loop). Output equality incl. the trailing
+        # dropDuplicates is pinned by tests/test_triples.py.
+        return _extract_triples_fast(src)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pdfmef_spark.functions.deadline import DeadlineRunner
 
@@ -276,6 +294,43 @@ def extract_triples(
     )
     out = src.select(*cols).mapInPandas(run, schema=schemas.TRIPLES)
     # exact dedup — same triple re-stated on a page collapses to one row
+    return out.dropDuplicates(["url", "subj", "pred", "obj"])
+
+
+def _extract_triples_fast(src: DataFrame) -> DataFrame:
+    """Relation rows via Python over (url, text) only; cites/hasFigure
+    rows via JVM explodes of the extract stage's links/figures arrays.
+    See extract_triples for the equivalence argument."""
+
+    def run_rel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schemas.TRIPLES]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, text in zip(pdf["url"], pdf["text"]):  # noqa: B905
+                for (s, p, o, st, ot, a, b, conf) in extract_relations(text or ""):
+                    rows.append(
+                        (url, url if s == "__URL__" else s, p, o, st, ot, a, b, conf)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    rel = src.select("url", "text").mapInPandas(run_rel, schema=schemas.TRIPLES)
+
+    def _attr_rows(arr_col: str, pred: str, obj_type: str) -> DataFrame:
+        return src.select("url", F.explode(arr_col).alias("o")).select(
+            F.col("url"),
+            F.col("url").alias("subj"),
+            F.lit(pred).alias("pred"),
+            F.col("o").alias("obj"),
+            F.lit("DOC").alias("subj_type"),
+            F.lit(obj_type).alias("obj_type"),
+            F.lit(None).cast("int").alias("span_start"),
+            F.lit(None).cast("int").alias("span_end"),
+            F.lit(1.0).alias("conf"),
+        )
+
+    out = rel.unionByName(_attr_rows("links", "cites", "DOC"))
+    if "figures" in src.columns:
+        out = out.unionByName(_attr_rows("figures", "hasFigure", "TERM"))
     return out.dropDuplicates(["url", "subj", "pred", "obj"])
 
 

@@ -1930,15 +1930,19 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly: per-iteration aggregation results are rounded identically
     on both sides, all other arithmetic is a fixed IEEE expression tree
     (operators/pagerank.py). The graph-analytics surface the reference
-    never had over its materialized citation XML (bin/buildXML.pl)."""
-    from pdfmef_spark.operators import extract, pagerank as pr, triples as triples_op
+    never had over its materialized citation XML (bin/buildXML.pl).
+
+    Round 6: the cites edge set is derived fully JVM-side
+    (extract.cites_edges — decode + subtree-drop + href regex as
+    codegen expressions) instead of running the whole Python
+    extract+relations boundary only to keep the pred='cites' rows;
+    the edge set is identical (pinned by test_extract) and pagerank's
+    leading distinct() restates the triples-stage dedup."""
+    from pdfmef_spark.operators import extract, pagerank as pr
     from pdfmef_spark.sources import store
 
     pages = store.read_pages(spark, _sf(sf_dir))
-    trip = triples_op.extract_triples(extract.extract_pages(pages))
-    cites = trip.filter(F.col("pred") == "cites").select(
-        F.col("subj").alias("src"), F.col("obj").alias("dst")
-    )
+    cites = extract.cites_edges(pages)
     return pr.pagerank(cites, iterations=3, damping=0.85, round_dp=9).orderBy("node")
 
 

@@ -79,3 +79,44 @@ def test_img_alt_quote_variants():
     )
     caps = extract._figure_captions(html)
     assert caps == ["Double quoted cap", "Single quoted cap", "Unquoted", "Cap wins"]
+
+
+def test_cites_edges_matches_python(spark, smoke_pages):
+    """The JVM cites derivation (decode + subtree-drop + href regex as
+    codegen expressions) must produce exactly the distinct edge set the
+    Python extract+triples boundary emits — on the corpus AND on
+    adversarial rows (links inside dropped subtrees, single-quoted /
+    unquoted attrs around href, non-http schemes, null html, non-en
+    lang, mixed case tags)."""
+    from pdfmef_spark import schemas
+    from pdfmef_spark.operators import triples as triples_op
+
+    adversarial = [
+        ("u1", None, b"<html><head><a href=\"http://drop.me/\"></head>"
+                     b"<body><A HREF=\"http://keep.me/x\">k</a>"
+                     b"<nav><a href=\"https://nav.link/\"></nav>"
+                     b"<a class='z' href=\"https://keep2.me/\">v</a>"
+                     b"<a href=\"ftp://no.scheme/\">n</a></body></html>",
+         None, "en"),
+        ("u2", None, None, None, "en"),          # null html -> error row, no links
+        ("u3", None, b"<a href=\"http://not-en.example/\">x</a>", None, "fr"),
+        ("u4", None, b"<ScRiPt>var a='<a href=\"http://in-script/\">'</sCrIpT>"
+                     b"<a  id=1 href=\"http://keep3.me/\">y</a>", None, "en"),
+    ]
+    adv = spark.createDataFrame(adversarial, schemas.PAGES)
+    for pages in (smoke_pages, adv):
+        py = (
+            triples_op.extract_triples(extract.extract_pages(pages))
+            .filter(F.col("pred") == "cites")
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+            .distinct()
+        )
+        jvm = extract.cites_edges(pages).distinct()
+        assert py.exceptAll(jvm).count() == 0
+        assert jvm.exceptAll(py).count() == 0
+    got = {tuple(r) for r in extract.cites_edges(adv).collect()}
+    assert got == {
+        ("u1", "http://keep.me/x"),
+        ("u1", "https://keep2.me/"),
+        ("u4", "http://keep3.me/"),
+    }

@@ -123,3 +123,22 @@ def test_affil_all_units_ranked_keeps_sentence_order():
     by_pred2 = {p: o for (_, p, o, *_rest) in rels2}
     assert by_pred2["affiliatedWith"] == "Acme University"
     assert by_pred2["affiliationString"] == "Acme University | Computing Department"
+
+
+def test_fast_path_matches_legacy(spark, smoke_pages):
+    """The round-6 fast path (JVM-exploded cites/hasFigure rows, Python
+    relations over (url, text) only) must emit exactly the legacy
+    all-Python loop's triple set. Forcing the legacy path via a
+    distinct-but-identical relation_fn object keeps both semantics
+    live in the test."""
+    from pdfmef_spark.operators import extract
+
+    ext = extract.extract_pages(smoke_pages)
+    fast = triples_op.extract_triples(ext)
+    legacy = triples_op.extract_triples(
+        ext, relation_fn=lambda t: triples_op.extract_relations(t)
+    )
+    cols = ["url", "subj", "pred", "obj", "subj_type", "obj_type", "conf"]
+    f = sorted(tuple(r) for r in fast.select(*cols).collect())
+    l = sorted(tuple(r) for r in legacy.select(*cols).collect())
+    assert f == l
