@@ -21,6 +21,42 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+# Persisted intermediates of the four pair generators, in creation
+# order. CacheManager holds cached plans STRONGLY until an explicit
+# unpersist/clearCache — Spark's ContextCleaner does NOT release them
+# when the returned DataFrame is dropped (ADVICE r5: the earlier
+# docstring claimed otherwise) — so a long-lived session invoking these
+# operators over changing inputs accumulates executor storage unless it
+# calls :func:`release_caches` once the results are materialized.
+# Within one session over the SAME inputs the caches are the point:
+# CacheManager dedupes by logical plan, so repeated invocations reuse
+# the signature/bucket tables instead of re-scanning the corpus.
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate the dedup operators have cached in
+    this session; returns the number released. Call after materializing
+    results in long-lived sessions (blocking=False: frees lazily)."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def _observed_cap_filter(df: DataFrame, size_col: str, cap: int, cap_obs) -> DataFrame:
     """Keep exploded bucket rows with bucket size <= cap; when `cap_obs`
     (a pyspark Observation) is given, record on the SAME job how much
@@ -90,9 +126,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
     )
     if materialize:
-        from pyspark import StorageLevel
-
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = _persist(base)
     ex = base.select("id", F.explode("sh").alias("g"))
     if block_cap is not None:
         # Bucket sizes via groupBy + join-back, NOT a window over the
@@ -121,9 +155,7 @@ def ngram_jaccard_pairs(
         )
     ex = ex.select("id", F.xxhash64("g").alias("gh"))
     if materialize:
-        from pyspark import StorageLevel
-
-        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+        ex = _persist(ex)
     cand = (
         ex.alias("x")
         .join(ex.alias("y"), (F.col("x.gh") == F.col("y.gh")) & (F.col("x.id") < F.col("y.id")))
@@ -186,9 +218,7 @@ def minhash_dedup_pairs(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
     ).filter(F.size("sh") > 0)
     if materialize:
-        from pyspark import StorageLevel
-
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = _persist(base)
     sig = base.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
     band_expr = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -198,9 +228,7 @@ def minhash_dedup_pairs(
     )
     bands = sig.select("id", F.posexplode(band_expr).alias("band", "bh"))
     if materialize:
-        from pyspark import StorageLevel
-
-        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+        bands = _persist(bands)
     w = W.partitionBy("band", "bh")
     bands = _observed_cap_filter(
         bands.withColumn("bsize", F.count("*").over(w)), "bsize", bucket_cap, cap_obs
@@ -318,14 +346,14 @@ def simhash_dedup_pairs(
     time. `materialize_sigs` therefore persists the two-column
     signature table (MEMORY_AND_DISK — a few dozen bytes/doc vs
     re-reading the full text 5x; measured at sf0.1: 18.8 s -> 7.5 s cold, 11.0 s -> 4.3 s warm).
-    The cache is released by Spark's ContextCleaner when the returned
-    plan is dropped; pass False to keep the operator fully lazy.
+    The cache is NOT auto-released (CacheManager holds cached plans
+    until an explicit unpersist) — long-lived sessions call
+    :func:`release_caches` once results are materialized; pass False to
+    keep the operator fully lazy.
     """
     base = docs.select(F.col(id_col).alias("id"), simhash60(F.col(text_col)).alias("sig"))
     if materialize_sigs:
-        from pyspark import StorageLevel
-
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = _persist(base)
     sigs = base.select("sig").distinct()
     chunks = sigs.select(
         "sig",
@@ -446,15 +474,11 @@ def embedding_dup_pairs(
 
     base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if materialize:
-        from pyspark import StorageLevel
-
-        base = base.persist(StorageLevel.MEMORY_AND_DISK)
+        base = _persist(base)
     keyed = base.withColumn("ks", _lsh_table_keys_udf(tables)(F.col("v")))
     buckets = keyed.select("id", F.posexplode("ks").alias("tbl", "key"))
     if materialize:
-        from pyspark import StorageLevel
-
-        buckets = buckets.persist(StorageLevel.MEMORY_AND_DISK)
+        buckets = _persist(buckets)
     w = W.partitionBy("tbl", "key")
     buckets = _observed_cap_filter(
         buckets.withColumn("bsize", F.count("*").over(w)), "bsize", bucket_cap, cap_obs

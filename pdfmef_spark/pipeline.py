@@ -327,8 +327,20 @@ def run_pipeline(
         nodes_df, edges_df = graph.materialize_graph(
             triples, keys, assignments, broadcast_map=broadcast_map
         )
-        stage("nodes", lambda: nodes_df, partition_by=["type"])
-        stage("edges", lambda: edges_df, partition_by=["pred"])
+        # nodes and edges share no data dependency — submit both write
+        # jobs from a 2-thread pool so the tail tasks of one back-fill
+        # cores the other's stragglers leave idle (guide §2.6). Jobs
+        # submitted from driver threads interleave in Spark's FIFO
+        # scheduler; manifest appends are per-file (uuid-named) and
+        # run.results updates are GIL-atomic dict stores, so the stage
+        # helper is thread-safe as-is.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_nodes = pool.submit(stage, "nodes", lambda: nodes_df, None, ["type"])
+            f_edges = pool.submit(stage, "edges", lambda: edges_df, None, ["pred"])
+            f_nodes.result()
+            f_edges.result()
     finally:
         keys.unpersist()
     if analytics:
@@ -590,12 +602,20 @@ def run_pipeline_incremental(
                     .parquet(f"{out_dir}/links")
                     .localCheckpoint()
                 )
-                # checkpointed once: reused by the links write AND the
-                # delta component update below
-                delta_links = linking.score_pairs(
-                    d_pairs, threshold=link_threshold
-                ).localCheckpoint()
-                links_mode = "delta"
+                # schema-version guard (ADVICE r5): parquet read does
+                # not enforce nullability, so a links table written
+                # before `type` existed reads back as silent nulls and
+                # would corrupt the concat_ws component keys — detect
+                # and rebuild fully instead
+                if prev_links.filter(F.col("type").isNull()).limit(1).count() > 0:
+                    links_mode = "full"
+                else:
+                    # checkpointed once: reused by the links write AND
+                    # the delta component update below
+                    delta_links = linking.score_pairs(
+                        d_pairs, threshold=link_threshold
+                    ).localCheckpoint()
+                    links_mode = "delta"
         if links_mode == "delta":
             links = tail_stage(
                 "links", lambda: prev_links.unionByName(delta_links)
@@ -606,6 +626,19 @@ def run_pipeline_incremental(
                 lambda: linking.link_entities(threshold=link_threshold, keys=keys),
             )
         run.results["links"].metrics = {"links_mode": links_mode}
+        if links_mode != "delta":
+            # A full links rebuild may SHRINK the link set (cap-crossing
+            # drops a whole bucket's old pairs), so the merge-only
+            # premise behind delta assignments AND the remap-based graph
+            # tail no longer holds. The remap's n_new>1 split probe
+            # cannot catch every split either: a 2-way split whose
+            # min-norm fragment keeps the old component id shows
+            # n_new=1 over the CHANGED rows it inspects (ADVICE r5,
+            # high). Rebuild the whole tail from merged triples on any
+            # full-links tick — merge-only ticks (links strictly grew)
+            # are the only sound delta ticks, and on those a split is
+            # impossible by construction.
+            use_delta = False
         if links_mode == "delta" and use_delta:
             # merge-only tick (links grew, never shrank), so component
             # assignment is a remap of O(delta) representatives over
@@ -651,8 +684,14 @@ def run_pipeline_incremental(
                 _merged("triples").drop("batch_id"), keys, assignments,
                 broadcast_map=broadcast_map,
             )
-        tail_stage("nodes", lambda: nodes_df, partition_by=["type"])
-        tail_stage("edges", lambda: edges_df, partition_by=["pred"])
+        # same independent-write overlap as the batch pipeline (§2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_nodes = pool.submit(tail_stage, "nodes", lambda: nodes_df, ["type"])
+            f_edges = pool.submit(tail_stage, "edges", lambda: edges_df, ["pred"])
+            f_nodes.result()
+            f_edges.result()
         run.results["edges"].metrics = {
             "tail_mode": "delta" if use_delta else "full"
         }

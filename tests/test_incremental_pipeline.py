@@ -283,3 +283,13 @@ def test_delta_links_cap_crossing_falls_back(spark, tmp_path, monkeypatch):
     assert r2.results["links"].metrics["links_mode"] == "full"
     run_full = P.run_pipeline(spark, all_pages, str(tmp_path / "full"))
     assert _links_set(r2) == _links_set(run_full)
+    # a full links rebuild can shrink the link set, under which the
+    # remap-based graph tail is unsound (a split can hide from the
+    # n_new probe when one fragment keeps the old component id —
+    # ADVICE r5 high); the tick must rebuild the tail fully and match
+    # from-scratch byte-for-byte on the GRAPH too, not just links
+    assert r2.results["edges"].metrics["tail_mode"] == "full"
+    for st in ("nodes", "edges"):
+        got = sorted(map(tuple, r2.df(st).collect()))
+        want = sorted(map(tuple, run_full.df(st).collect()))
+        assert got == want, st
