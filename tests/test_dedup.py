@@ -227,3 +227,65 @@ def test_dedup_cap_drop_counters(spark):
     assert n3 == 1
     m3 = {k: int(v) for k, v in dict(obs3.get).items()}
     assert m3["buckets_dropped"] >= 1 and m3["members_dropped"] >= 70
+
+
+def test_simhash_signatures_match_projection(spark, docs):
+    """The explode + packed-count-SUM signature table (round 6) is
+    bit-identical to the simhash60 projection — including the null-text
+    row, whose sig degenerates to 0 on both paths (null packed counts:
+    every bit test falls to otherwise(0))."""
+    extra = spark.createDataFrame(
+        [("nulldoc", None), ("emptydoc", ""), ("onedoc", "solo")],
+        "doc_id string, text string",
+    )
+    both = docs.selectExpr("cast(doc_id as string) doc_id", "text").unionByName(extra)
+    want = {
+        r.id: r.sig
+        for r in both.select(
+            F.col("doc_id").alias("id"), dedup.simhash60(F.col("text")).alias("sig")
+        ).collect()
+    }
+    got = {r.id: r.sig for r in dedup.simhash_signatures(both).collect()}
+    assert got == want and got["nulldoc"] == 0
+
+
+def test_minhash_band_table_matches_lambda_path(spark, docs):
+    """The explode + 64-min-aggregate banding (round 6) reproduces the
+    interpreted minhash_signature band hashes exactly, so the candidate
+    set is unchanged."""
+    n_hashes, n_bands, r = 64, 16, 4
+    base = docs.select(
+        F.col("doc_id").alias("id"), dedup.word_shingles(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    old_sig = base.withColumn("sig", dedup.minhash_signature(F.col("sh"), n_hashes))
+    old_bands = old_sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    *[F.element_at(F.col("sig"), b * r + j + 1) for j in range(r)]
+                ),
+            )
+        ).alias("band", "bh"),
+    )
+    want = {(x.id, x.band, x.bh) for x in old_bands.collect()}
+
+    ex = base.select("id", F.explode("sh").alias("s"))
+    hashed = ex.select(
+        "id", *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
+    )
+    sig = hashed.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)])
+            for b in range(n_bands)
+        ]
+    )
+    got = {
+        (x.id, x.band, x.bh)
+        for x in sig.select("id", F.posexplode(band_arr).alias("band", "bh")).collect()
+    }
+    assert got == want and len(want) > 0
