@@ -219,50 +219,30 @@ def minhash_dedup_pairs(
     ).filter(F.size("sh") > 0)
     if materialize:
         base = _persist(base)
-    # Signatures via the explode + codegen-min-aggregate shape (round 6;
-    # the linking.minhash_signatures rewrite applied here): the
-    # interpreted ``minhash_signature`` nested transform re-walked every
-    # shingle array 64x in CodegenFallback. Exploding the shingles,
-    # computing the 64 seeded xxhash64 columns inline (plain codegen)
-    # and taking 64 algebraic MINs per id yields bit-identical h values
-    # — element_at(sig, b*r+j+1) == h_{b*r+j} — so the banded bucket
-    # table, and every pair downstream, is unchanged (pinned by
-    # tests/test_dedup.py). Map-side partial min aggregation absorbs
-    # the exploded rows before the one vocabulary-sized exchange.
-    ex = base.select("id", F.explode("sh").alias("s"))
-    hashed = ex.select(
-        "id", *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in range(n_hashes)]
-    )
-    sig = hashed.groupBy("id").agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_hashes)]
-    )
-    band_arr = F.array(
-        *[
-            F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)])
-            for b in range(n_bands)
-        ]
+    # Signature + banding stay on the interpreted nested-transform path
+    # DELIBERATELY (round 6, measured): the explode + 64-min-aggregate
+    # rewrite that wins 3.5x for linking's ~20-char norms LOSES here —
+    # word-3-gram shingle sets are ~200 x ~30-byte strings per doc, and
+    # exploding them into 512-byte 64-hash rows through a groupBy costs
+    # more than the single cache-local array traversal per doc
+    # (interleaved A/B at 50k docs: 16.4 s vs 19.3 s; at sf0.1: 17-19 s
+    # vs 21-26 s). The groupBy + broadcast join-back cap was also tried
+    # and reverted: unlike the ngram path, the window's (band, bh)
+    # exchange is exactly the partitioning the bucket self-join reuses,
+    # so replacing it ADDS an exchange (50k docs: 23.4 s).
+    sig = base.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.xxhash64(
+            *[F.element_at(F.col("sig"), b * r + j + 1) for j in range(r)]
+        ),
     )
     bands = sig.select("id", F.posexplode(band_arr).alias("band", "bh"))
     if materialize:
         bands = _persist(bands)
-    # Bucket sizes via groupBy + AQE-broadcast join-back of only the
-    # oversized buckets (round 6, VERDICT r5 #7 — the ngram shape):
-    # partial aggregation means the count shuffle carries one row per
-    # distinct (band, bh) per partition, and the window's full
-    # re-exchange + sort of the band table disappears. Drop counters
-    # keep the exact _observed_cap_filter semantics (bsize is exact per
-    # bucket; rows in small buckets coalesce to 0 and never trip the
-    # cap).
-    hot = (
-        bands.groupBy("band", "bh")
-        .agg(F.count("*").alias("bsize"))
-        .filter(F.col("bsize") > bucket_cap)
-    )
+    w = W.partitionBy("band", "bh")
     bands = _observed_cap_filter(
-        bands.join(hot, ["band", "bh"], "left").withColumn(
-            "bsize", F.coalesce("bsize", F.lit(0).cast("long"))
-        ),
-        "bsize", bucket_cap, cap_obs,
+        bands.withColumn("bsize", F.count("*").over(w)), "bsize", bucket_cap, cap_obs
     )
     cand = (
         bands.alias("x")
