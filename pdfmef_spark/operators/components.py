@@ -195,30 +195,17 @@ def assign_components(keys: DataFrame, links: DataFrame) -> DataFrame:
     )
 
 
-def assign_components_delta(
-    prev_assign: DataFrame, delta_links: DataFrame, new_norms: DataFrame
-) -> DataFrame:
-    """Incremental ``assign_components``: merge-only component update.
+def delta_component_remap(prev_assign: DataFrame, delta_links: DataFrame) -> DataFrame:
+    """(rep, component): merged id per representative touched by delta
+    links — the O(delta) core of :func:`assign_components_delta`,
+    exposed separately (round 6) so the pipeline can prune its bucketed
+    assignment writes to only the components this remap actually moves.
 
-    Valid exactly when the link set GREW (links = prev UNION delta, no
-    deletions — the incremental pipeline guarantees this on delta-links
-    ticks; cap-crossing and crash-retry ticks rebuild fully). Because a
-    component id is the lexicographic min member node, and every
-    previous component's id IS the min of its members, the merged
-    component's id equals the min over the merged representatives —
-    so the update is a remap of O(delta) representatives, never a CC
-    over the full links table:
-
-      * endpoints of delta links map to their current representative
-        (previous component id for old norms, own node id for new);
-      * connected components over that representative graph — O(delta
-        links) edges, tiny — yields rep -> merged id;
-      * previous assignments remap through it (identity when
-        untouched); new norms join it (singleton when unlinked).
-
-    Equality with a from-scratch ``assign_components`` over the merged
-    keys/links is pinned by tests (operator-level and pipeline
-    byte-identity).
+    Endpoints of delta links map to their current representative
+    (previous component for old norms, own node id for new); connected
+    components over that O(delta)-edge representative graph yields the
+    merged id per representative. Rows with rep == component are
+    untouched components that happened to gain an internal link.
     """
     node_of = F.concat_ws("|", "type", "norm")
     prev_rep = prev_assign.select("type", "norm", F.col("component").alias("rep"))
@@ -245,7 +232,36 @@ def assign_components_delta(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    remap = connected_components(rep_edges).withColumnRenamed("node", "rep")
+    return connected_components(rep_edges).withColumnRenamed("node", "rep")
+
+
+def assign_components_delta(
+    prev_assign: DataFrame, delta_links: DataFrame, new_norms: DataFrame
+) -> DataFrame:
+    """Incremental ``assign_components``: merge-only component update.
+
+    Valid exactly when the link set GREW (links = prev UNION delta, no
+    deletions — the incremental pipeline guarantees this on delta-links
+    ticks; cap-crossing and crash-retry ticks rebuild fully). Because a
+    component id is the lexicographic min member node, and every
+    previous component's id IS the min of its members, the merged
+    component's id equals the min over the merged representatives —
+    so the update is a remap of O(delta) representatives, never a CC
+    over the full links table:
+
+      * endpoints of delta links map to their current representative
+        (previous component id for old norms, own node id for new);
+      * connected components over that representative graph — O(delta
+        links) edges, tiny — yields rep -> merged id;
+      * previous assignments remap through it (identity when
+        untouched); new norms join it (singleton when unlinked).
+
+    Equality with a from-scratch ``assign_components`` over the merged
+    keys/links is pinned by tests (operator-level and pipeline
+    byte-identity).
+    """
+    node_of = F.concat_ws("|", "type", "norm")
+    remap = delta_component_remap(prev_assign, delta_links)
     old_part = (
         prev_assign.join(remap, prev_assign["component"] == remap["rep"], "left")
         .select(

@@ -567,6 +567,174 @@ def embedding_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup (round 6, VERDICT r5 #4 — the linking delta design
+# transferred): block keys are pure functions of the text, so per-batch
+# key tables are append-only; candidate generation expands only buckets
+# a NEW document landed in and emits only pairs with >= 1 new member.
+# Pairs among old members were candidates on an earlier batch, so the
+# caller's accumulated pair table already holds their verified
+# survivors: accumulated ∪ delta == full recompute, UNLESS a touched
+# bucket CROSSED its cap this batch (its old pairs must vanish with the
+# bucket — only a full rebuild reproduces that), which is detected and
+# returned for fallback exactly like linking.delta_candidate_pairs.
+# ---------------------------------------------------------------------------
+
+
+def minhash_block_keys(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, n_hashes: int = 64, n_bands: int = 16,
+) -> DataFrame:
+    """(id, band, bh): the banded MinHash bucket table — a pure function
+    of the text, identical to the blocking table minhash_dedup_pairs
+    builds internally, exposed so batches can persist their keys once."""
+    r = n_hashes // n_bands
+    base = docs.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = base.withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.xxhash64(
+            *[F.element_at(F.col("sig"), b * r + j + 1) for j in range(r)]
+        ),
+    )
+    return sig.select("id", F.posexplode(band_arr).alias("band", "bh"))
+
+
+def ngram_block_keys(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, g): exploded word-k-gram blocking keys (the gram STRING, so
+    the delta cap counts true grams exactly like the full path)."""
+    base = docs.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    return base.select("id", F.explode("sh").alias("g"))
+
+
+def _delta_bucket_pairs(
+    keyed_all: DataFrame, key_cols: list[str], cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """Delta candidate pairs over an accumulated (id, *key_cols,
+    is_new) key table: only buckets touched by a new id expand, only
+    pairs with >= 1 new member emit. Returns (pairs(a, b), crossed) —
+    ``crossed`` non-empty iff a touched bucket crossed its cap with
+    >= 2 pre-existing members (caller must fall back to full)."""
+    touched = keyed_all.filter(F.col("is_new")).select(*key_cols).distinct()
+    members = keyed_all.join(touched, key_cols)
+    w = W.partitionBy(*key_cols)
+    sized = members.withColumn("n", F.count(F.lit(1)).over(w)).withColumn(
+        "n_new", F.sum(F.col("is_new").cast("int")).over(w)
+    )
+    crossed = sized.filter(
+        (F.col("n") > cap)
+        & (F.col("n") - F.col("n_new") >= 2)
+        & (F.col("n") - F.col("n_new") <= cap)
+    ).select(*key_cols, "n", "n_new")
+    small = (
+        sized.filter((F.col("n") >= 2) & (F.col("n") <= cap))
+        .groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_set(F.struct("id", "is_new"))).alias("ms"))
+    )
+    pairs = small.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ms"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ms"), i + 2,
+                            F.greatest(F.size("ms") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(
+                            x["id"].alias("a"),
+                            y["id"].alias("b"),
+                            (x["is_new"] | y["is_new"]).alias("keep"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.filter(F.col("p.keep"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct(),
+        crossed,
+    )
+
+
+def minhash_dedup_pairs_delta(
+    docs: DataFrame, keyed_all: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, verify_threshold: float = 0.7, bucket_cap: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental MinHash near-dup pairs.
+
+    ``keyed_all``: union of every batch's :func:`minhash_block_keys`
+    output plus ``is_new`` marking ids first seen THIS batch. Shingle
+    arrays for exact-Jaccard verification are computed ONLY for
+    candidate members (a semi-join against the docs table), so the
+    per-batch cost is O(new-touched buckets + candidates), never a
+    corpus re-shingle. accumulated_pairs ∪ delta == full recompute
+    (pinned by tests) unless ``crossed`` is non-empty.
+    """
+    cand, crossed = _delta_bucket_pairs(keyed_all, ["band", "bh"], bucket_cap)
+    ids = cand.select(F.col("a").alias("id")).union(
+        cand.select(F.col("b").alias("id"))
+    ).distinct()
+    sh = (
+        docs.select(
+            F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
+        )
+        .join(ids, "id", "leftsemi")
+    )
+    pairs = (
+        cand.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs, crossed
+
+
+def ngram_jaccard_pairs_delta(
+    docs: DataFrame, keyed_all: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    k: int = 3, threshold: float = 0.8, block_cap: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental capped n-gram Jaccard pairs; ``keyed_all`` is the
+    accumulated :func:`ngram_block_keys` union with ``is_new``."""
+    cand, crossed = _delta_bucket_pairs(keyed_all, ["g"], block_cap)
+    ids = cand.select(F.col("a").alias("id")).union(
+        cand.select(F.col("b").alias("id"))
+    ).distinct()
+    sh = (
+        docs.select(
+            F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
+        )
+        .join(ids, "id", "leftsemi")
+    )
+    pairs = (
+        cand.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("sh_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return pairs, crossed
+
+
+# ---------------------------------------------------------------------------
 # End-to-end dedup: near-dup pairs -> clusters -> keeper selection
 # ---------------------------------------------------------------------------
 

@@ -289,3 +289,84 @@ def test_minhash_band_table_matches_lambda_path(spark, docs):
         for x in sig.select("id", F.posexplode(band_arr).alias("band", "bh")).collect()
     }
     assert got == want and len(want) > 0
+
+
+def _pairset(df):
+    return {(r.a, r.b, r.jaccard) for r in df.collect()}
+
+
+def test_minhash_delta_equals_full_minus_old(spark, docs):
+    """Incremental MinHash (VERDICT r5 #4): accumulated block keys +
+    delta candidate generation must reproduce exactly the pairs a full
+    recompute adds over the old corpus — delta == full(all) \\ full(old)
+    — with no bucket crossing its cap at this scale."""
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    cap = 1024
+    keyed_all = (
+        dedup.minhash_block_keys(old).withColumn("is_new", F.lit(False))
+        .unionByName(
+            dedup.minhash_block_keys(new).withColumn("is_new", F.lit(True))
+        )
+    )
+    delta, crossed = dedup.minhash_dedup_pairs_delta(
+        docs, keyed_all, bucket_cap=cap
+    )
+    assert crossed.count() == 0
+    full_all = _pairset(
+        dedup.minhash_dedup_pairs(docs, bucket_cap=cap, materialize=False)
+    )
+    full_old = _pairset(
+        dedup.minhash_dedup_pairs(old, bucket_cap=cap, materialize=False)
+    )
+    got = _pairset(delta)
+    assert got == full_all - full_old
+    assert full_old | got == full_all
+    assert len(got) > 0
+
+
+def test_ngram_delta_equals_full_minus_old(spark, docs):
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    cap = 1024
+    keyed_all = (
+        dedup.ngram_block_keys(old).withColumn("is_new", F.lit(False))
+        .unionByName(dedup.ngram_block_keys(new).withColumn("is_new", F.lit(True)))
+    )
+    delta, crossed = dedup.ngram_jaccard_pairs_delta(
+        docs, keyed_all, threshold=0.7, block_cap=cap
+    )
+    assert crossed.count() == 0
+    full_all = _pairset(
+        dedup.ngram_jaccard_pairs(
+            docs, threshold=0.7, block_cap=cap, materialize=False
+        )
+    )
+    full_old = _pairset(
+        dedup.ngram_jaccard_pairs(
+            old, threshold=0.7, block_cap=cap, materialize=False
+        )
+    )
+    got = _pairset(delta)
+    assert got == full_all - full_old
+    assert len(got) > 0
+
+
+def test_dedup_delta_detects_cap_crossing(spark):
+    """A gram bucket growing 2 -> 3 past cap=2 with two pre-existing
+    members must surface in `crossed` (full-recompute semantics drop
+    the whole bucket's old pairs, which a delta cannot reproduce)."""
+    mk = lambda i, txt: (i, txt)  # noqa: E731
+    old_rows = [mk(1, "shared trigram anchor one"), mk(2, "shared trigram anchor two")]
+    new_rows = [mk(3, "shared trigram anchor three")]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    both = old.unionByName(new)
+    keyed_all = (
+        dedup.ngram_block_keys(old).withColumn("is_new", F.lit(False))
+        .unionByName(dedup.ngram_block_keys(new).withColumn("is_new", F.lit(True)))
+    )
+    _, crossed = dedup.ngram_jaccard_pairs_delta(
+        both, keyed_all, threshold=0.9, block_cap=2
+    )
+    assert crossed.count() > 0
