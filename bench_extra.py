@@ -130,9 +130,13 @@ def graph20m(n_edges: int = 20_000_000) -> None:
     out: dict = {"edges": n_edges, "nodes": n_nodes, "max_degree": int(hub)}
     t0 = time.time()
     spark.sparkContext.setJobDescription(f"cc_distributed_{n_edges}")
-    comp = components.connected_components(g, driver_cutoff=0)
+    iters: list = []
+    comp = components.connected_components(g, driver_cutoff=0, iteration_log=iters)
     out["cc_components"] = comp.select("component").distinct().count()
     out["cc_sec"] = round(time.time() - t0, 3)
+    out["cc_iterations"] = [
+        {"round": r, "sec": s, "edges": n} for r, s, n in iters
+    ]
     t0 = time.time()
     spark.sparkContext.setJobDescription(f"pagerank_{n_edges}")
     ranks = pr_op.pagerank(g, iterations=5)

@@ -130,7 +130,11 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(links: DataFrame, driver_cutoff: int = DRIVER_CUTOFF) -> DataFrame:
+def connected_components(
+    links: DataFrame,
+    driver_cutoff: int = DRIVER_CUTOFF,
+    iteration_log: list | None = None,
+) -> DataFrame:
     """links(src, dst, ...) -> (node, component) for every node in links.
 
     Component id = lexicographic min node of the component.
@@ -149,9 +153,16 @@ def connected_components(links: DataFrame, driver_cutoff: int = DRIVER_CUTOFF) -
     else:
         edges = edges.localCheckpoint()
         prev = None
-        for _ in range(MAX_ITERATIONS):
+        for it in range(MAX_ITERATIONS):
+            import time as _time
+
+            t0 = _time.time()
             edges = _small_star(_large_star(edges)).localCheckpoint()
             fp = _fingerprint(edges)
+            if iteration_log is not None:
+                # (round, seconds, edge count) — the fingerprint rides
+                # the same pass, so this costs nothing extra
+                iteration_log.append((it, round(_time.time() - t0, 2), fp[0]))
             if fp == prev:
                 break
             prev = fp
